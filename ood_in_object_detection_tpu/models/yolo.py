@@ -1,0 +1,339 @@
+"""YOLO detector family (v8/v9/v10/v11/v12, sizes n..x) as static Flax graphs.
+
+The reference drives a dynamic graph executor from YAML specs
+(ultralytics/nn/tasks.py:96-229 ``parse_model`` + save-list routing). Here the
+same layer specs are *data* interpreted once at trace time into a single
+static Flax module, so XLA sees one fused graph — no per-layer Python dispatch
+at run time (reference hot loop: tasks.py:170-175).
+
+The forward pass declares every OoD tap as an output:
+``(raw_head_levels, neck_feats)`` where ``neck_feats`` are the three PAN
+outputs feeding the head — exactly the feature maps the reference deep-copies
+out of the layer loop at version-specific indices (tasks.py:179-194;
+yolo12:[14,17,20], v8/v9:[15,18,21], v10/yolo11:[16,19,22]).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from . import layers as L
+from .head import DetectHead, decode_detections
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    return int(math.ceil(x / divisor) * divisor)
+
+
+# (from, repeats, module, args) — args follow the reference YAML conventions
+# (ultralytics/cfg/models/*). "Detect" terminates the spec; its `from` lists
+# the neck taps that are also returned as OoD feature maps.
+SPEC_V8 = [
+    (-1, 1, "Conv", [64, 3, 2]),
+    (-1, 1, "Conv", [128, 3, 2]),
+    (-1, 3, "C2f", [128, True]),
+    (-1, 1, "Conv", [256, 3, 2]),
+    (-1, 6, "C2f", [256, True]),
+    (-1, 1, "Conv", [512, 3, 2]),
+    (-1, 6, "C2f", [512, True]),
+    (-1, 1, "Conv", [1024, 3, 2]),
+    (-1, 3, "C2f", [1024, True]),
+    (-1, 1, "SPPF", [1024, 5]),
+    (-1, 1, "Upsample", []),
+    ([-1, 6], 1, "Concat", []),
+    (-1, 3, "C2f", [512]),
+    (-1, 1, "Upsample", []),
+    ([-1, 4], 1, "Concat", []),
+    (-1, 3, "C2f", [256]),  # 15 P3
+    (-1, 1, "Conv", [256, 3, 2]),
+    ([-1, 12], 1, "Concat", []),
+    (-1, 3, "C2f", [512]),  # 18 P4
+    (-1, 1, "Conv", [512, 3, 2]),
+    ([-1, 9], 1, "Concat", []),
+    (-1, 3, "C2f", [1024]),  # 21 P5
+    ([15, 18, 21], 1, "Detect", []),
+]
+
+SPEC_V9C = [
+    (-1, 1, "Conv", [64, 3, 2]),
+    (-1, 1, "Conv", [128, 3, 2]),
+    (-1, 1, "RepNCSPELAN4", [256, 128, 64, 1]),
+    (-1, 1, "ADown", [256]),
+    (-1, 1, "RepNCSPELAN4", [512, 256, 128, 1]),
+    (-1, 1, "ADown", [512]),
+    (-1, 1, "RepNCSPELAN4", [512, 512, 256, 1]),
+    (-1, 1, "ADown", [512]),
+    (-1, 1, "RepNCSPELAN4", [512, 512, 256, 1]),
+    (-1, 1, "SPPELAN", [512, 256]),
+    (-1, 1, "Upsample", []),
+    ([-1, 6], 1, "Concat", []),
+    (-1, 1, "RepNCSPELAN4", [512, 512, 256, 1]),
+    (-1, 1, "Upsample", []),
+    ([-1, 4], 1, "Concat", []),
+    (-1, 1, "RepNCSPELAN4", [256, 256, 128, 1]),  # 15 P3
+    (-1, 1, "ADown", [256]),
+    ([-1, 12], 1, "Concat", []),
+    (-1, 1, "RepNCSPELAN4", [512, 512, 256, 1]),  # 18 P4
+    (-1, 1, "ADown", [512]),
+    ([-1, 9], 1, "Concat", []),
+    (-1, 1, "RepNCSPELAN4", [512, 512, 256, 1]),  # 21 P5
+    ([15, 18, 21], 1, "Detect", []),
+]
+
+SPEC_V10L = [
+    (-1, 1, "Conv", [64, 3, 2]),
+    (-1, 1, "Conv", [128, 3, 2]),
+    (-1, 3, "C2f", [128, True]),
+    (-1, 1, "Conv", [256, 3, 2]),
+    (-1, 6, "C2f", [256, True]),
+    (-1, 1, "SCDown", [512, 3, 2]),
+    (-1, 6, "C2f", [512, True]),
+    (-1, 1, "SCDown", [1024, 3, 2]),
+    (-1, 3, "C2fCIB", [1024, True]),
+    (-1, 1, "SPPF", [1024, 5]),
+    (-1, 1, "PSA", [1024]),
+    (-1, 1, "Upsample", []),
+    ([-1, 6], 1, "Concat", []),
+    (-1, 3, "C2fCIB", [512, True]),
+    (-1, 1, "Upsample", []),
+    ([-1, 4], 1, "Concat", []),
+    (-1, 3, "C2f", [256]),  # 16 P3
+    (-1, 1, "Conv", [256, 3, 2]),
+    ([-1, 13], 1, "Concat", []),
+    (-1, 3, "C2fCIB", [512, True]),  # 19 P4
+    (-1, 1, "SCDown", [512, 3, 2]),
+    ([-1, 10], 1, "Concat", []),
+    (-1, 3, "C2fCIB", [1024, True]),  # 22 P5
+    ([16, 19, 22], 1, "Detect", []),
+]
+
+SPEC_V11 = [
+    (-1, 1, "Conv", [64, 3, 2]),
+    (-1, 1, "Conv", [128, 3, 2]),
+    (-1, 2, "C3k2", [256, False, 0.25]),
+    (-1, 1, "Conv", [256, 3, 2]),
+    (-1, 2, "C3k2", [512, False, 0.25]),
+    (-1, 1, "Conv", [512, 3, 2]),
+    (-1, 2, "C3k2", [512, True]),
+    (-1, 1, "Conv", [1024, 3, 2]),
+    (-1, 2, "C3k2", [1024, True]),
+    (-1, 1, "SPPF", [1024, 5]),
+    (-1, 2, "C2PSA", [1024]),
+    (-1, 1, "Upsample", []),
+    ([-1, 6], 1, "Concat", []),
+    (-1, 2, "C3k2", [512, False]),
+    (-1, 1, "Upsample", []),
+    ([-1, 4], 1, "Concat", []),
+    (-1, 2, "C3k2", [256, False]),  # 16 P3
+    (-1, 1, "Conv", [256, 3, 2]),
+    ([-1, 13], 1, "Concat", []),
+    (-1, 2, "C3k2", [512, False]),  # 19 P4
+    (-1, 1, "Conv", [512, 3, 2]),
+    ([-1, 10], 1, "Concat", []),
+    (-1, 2, "C3k2", [1024, True]),  # 22 P5
+    ([16, 19, 22], 1, "Detect", []),
+]
+
+SPEC_V12 = [
+    (-1, 1, "Conv", [64, 3, 2]),
+    (-1, 1, "Conv", [128, 3, 2]),
+    (-1, 2, "C3k2", [256, False, 0.25]),
+    (-1, 1, "Conv", [256, 3, 2]),
+    (-1, 2, "C3k2", [512, False, 0.25]),
+    (-1, 1, "Conv", [512, 3, 2]),
+    (-1, 4, "A2C2f", [512, True, 4]),
+    (-1, 1, "Conv", [1024, 3, 2]),
+    (-1, 4, "A2C2f", [1024, True, 1]),
+    (-1, 1, "Upsample", []),
+    ([-1, 6], 1, "Concat", []),
+    (-1, 2, "A2C2f", [512, False, -1]),
+    (-1, 1, "Upsample", []),
+    ([-1, 4], 1, "Concat", []),
+    (-1, 2, "A2C2f", [256, False, -1]),  # 14 P3
+    (-1, 1, "Conv", [256, 3, 2]),
+    ([-1, 11], 1, "Concat", []),
+    (-1, 2, "A2C2f", [512, False, -1]),  # 17 P4
+    (-1, 1, "Conv", [512, 3, 2]),
+    ([-1, 8], 1, "Concat", []),
+    (-1, 2, "C3k2", [1024, True]),  # 20 P5
+    ([14, 17, 20], 1, "Detect", []),
+]
+
+# scale -> (depth, width, max_channels); reference cfg/models/*/*.yaml
+SCALES = {
+    "yolov8": {"n": (0.33, 0.25, 1024), "s": (0.33, 0.50, 1024), "m": (0.67, 0.75, 768),
+               "l": (1.00, 1.00, 512), "x": (1.00, 1.25, 512)},
+    "yolo11": {"n": (0.50, 0.25, 1024), "s": (0.50, 0.50, 1024), "m": (0.50, 1.00, 512),
+               "l": (1.00, 1.00, 512), "x": (1.00, 1.50, 512)},
+    "yolo12": {"n": (0.50, 0.25, 1024), "s": (0.50, 0.50, 1024), "m": (0.50, 1.00, 512),
+               "l": (1.00, 1.00, 512), "x": (1.00, 1.50, 512)},
+    "yolov9": {"c": (1.00, 1.00, 512)},
+    "yolov10": {"l": (1.00, 1.00, 512)},
+}
+
+SPECS = {
+    "yolov8": SPEC_V8,
+    "yolov9": SPEC_V9C,
+    "yolov10": SPEC_V10L,
+    "yolo11": SPEC_V11,
+    "yolo12": SPEC_V12,
+}
+
+HEAD_STYLE = {"yolov8": "v8", "yolov9": "v8", "yolov10": "v10", "yolo11": "v11", "yolo12": "v12"}
+
+# modules whose repeats column becomes the inner block count n
+_REPEAT_AS_N = {"C2f", "C3k2", "C2fCIB", "C2PSA", "A2C2f"}
+
+
+class YOLODetector(nn.Module):
+    """A YOLO detection model assembled from a static spec.
+
+    __call__ returns ``(raw_levels, neck_feats)``:
+      raw_levels: 3x (B, H, W, 4*reg_max+nc) raw head maps
+      neck_feats: 3x (B, H, W, C) PAN neck feature maps (the OoD taps)
+    """
+
+    spec: Tuple = tuple(tuple(s) for s in SPEC_V8)
+    nc: int = 80
+    depth: float = 1.0
+    width: float = 1.0
+    max_channels: int = 512
+    head_style: str = "v8"
+    attn_residual: bool = False  # yolo12 l/x: A2C2f residual=True, mlp_ratio=1.2
+    dtype: Any = jnp.float32
+
+    def _ch(self, c: int) -> int:
+        return make_divisible(min(c, self.max_channels) * self.width, 8)
+
+    def _n(self, n: int) -> int:
+        return max(round(n * self.depth), 1) if n > 1 else n
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        ys: List[jax.Array] = []
+        dt = self.dtype
+        x = x.astype(dt)
+        for li, (frm, rep, mod, args) in enumerate(self.spec):
+            if mod == "Detect":
+                neck_feats = [ys[i] for i in frm]
+                head = DetectHead(
+                    nc=self.nc,
+                    ch=tuple(f.shape[-1] for f in neck_feats),
+                    style=self.head_style,
+                    dtype=dt,
+                    name="detect",
+                )
+                raw_levels = head(neck_feats, train)
+                return raw_levels, neck_feats
+
+            if isinstance(frm, int):
+                inp = x if frm == -1 else ys[frm]
+            else:
+                inp = None  # multi-input modules (Concat) index ys directly
+            name = f"l{li}_{mod}"
+            n = self._n(rep)
+            if mod == "Conv":
+                c, k, s = args
+                x = L.Conv(self._ch(c), k, s, dtype=dt, name=name)(inp, train)
+            elif mod == "C2f":
+                c = self._ch(args[0])
+                shortcut = args[1] if len(args) > 1 else False
+                x = L.C2f(c, n, shortcut, dtype=dt, name=name)(inp, train)
+            elif mod == "C3k2":
+                c = self._ch(args[0])
+                c3k = args[1] if len(args) > 1 else False
+                e = args[2] if len(args) > 2 else 0.5
+                x = L.C3k2(c, n, c3k=c3k, e=e, dtype=dt, name=name)(inp, train)
+            elif mod == "A2C2f":
+                c = self._ch(args[0])
+                a2 = args[1] if len(args) > 1 else True
+                area = args[2] if len(args) > 2 else 1
+                area = 1 if area in (-1, None) else area
+                residual = self.attn_residual and a2
+                mlp_ratio = 1.2 if self.attn_residual else 2.0
+                x = L.A2C2f(c, n, a2=a2, area=area, residual=residual, mlp_ratio=mlp_ratio,
+                            dtype=dt, name=name)(inp, train)
+            elif mod == "C2fCIB":
+                c = self._ch(args[0])
+                shortcut = args[1] if len(args) > 1 else False
+                lk = args[2] if len(args) > 2 else False
+                x = L.C2fCIB(c, n, shortcut=shortcut, lk=lk, dtype=dt, name=name)(inp, train)
+            elif mod == "C2PSA":
+                c = self._ch(args[0])
+                x = L.C2PSA(c, n, dtype=dt, name=name)(inp, train)
+            elif mod == "SPPF":
+                c, k = args
+                x = L.SPPF(self._ch(c), k, dtype=dt, name=name)(inp, train)
+            elif mod == "SCDown":
+                c, k, s = args
+                x = L.SCDown(self._ch(c), k, s, dtype=dt, name=name)(inp, train)
+            elif mod == "PSA":
+                c = self._ch(args[0])
+                x = L.PSA(c, dtype=dt, name=name)(inp, train)
+            elif mod == "RepNCSPELAN4":
+                c2, c3, c4, nrep = args
+                x = L.RepNCSPELAN4(self._ch(c2), self._ch(c3), self._ch(c4), nrep, dtype=dt, name=name)(inp, train)
+            elif mod == "ADown":
+                c = self._ch(args[0])
+                x = L.ADown(c, dtype=dt, name=name)(inp, train)
+            elif mod == "SPPELAN":
+                c2, c3 = args
+                x = L.SPPELAN(self._ch(c2), self._ch(c3), dtype=dt, name=name)(inp, train)
+            elif mod == "Upsample":
+                x = L.upsample2x(inp)
+            elif mod == "Concat":
+                parts = [x if i == -1 else ys[i] for i in frm]
+                x = jnp.concatenate(parts, axis=-1)
+            else:
+                raise ValueError(f"unknown module {mod}")
+            ys.append(x)
+        raise RuntimeError("spec did not terminate with a Detect layer")
+
+
+def build_model(name: str, nc: int = 80, dtype: Any = jnp.float32) -> YOLODetector:
+    """Build a detector by name, e.g. 'yolov8n', 'yolov8l', 'yolo11l', 'yolo12l',
+    'yolov9c', 'yolov10l' (reference: custom_training.py:90-127 model selection)."""
+    for family in sorted(SPECS, key=len, reverse=True):
+        if name.startswith(family):
+            size = name[len(family):]
+            if size not in SCALES[family]:
+                raise ValueError(f"unknown size '{size}' for {family}; have {list(SCALES[family])}")
+            depth, width, max_ch = SCALES[family][size]
+            # yolo12 style: head follows v11 topology; A2C2f residual for l/x
+            head_style = HEAD_STYLE[family]
+            if head_style == "v12":
+                head_style = "v11"
+            return YOLODetector(
+                spec=tuple(tuple(s) for s in SPECS[family]),
+                nc=nc,
+                depth=depth,
+                width=width,
+                max_channels=max_ch,
+                head_style=head_style,
+                attn_residual=(family == "yolo12" and size in ("l", "x")),
+                dtype=dtype,
+            )
+    raise ValueError(f"unknown model name {name}")
+
+
+def model_forward(model: YOLODetector, variables, images, train: bool = False):
+    """Pure forward: images (B, H, W, 3) float -> dict of declared outputs.
+
+    Replaces the reference's predict-with-extraction path
+    (nn/tasks.py:153-208 + engine/predictor.py:276): a single jitted call
+    producing boxes, pre-sigmoid logits and neck feature maps.
+    """
+    raw_levels, neck_feats = model.apply(variables, images, train=train)
+    boxes_xywh, cls_logits, anchor_strides = decode_detections(raw_levels, model.nc)
+    return {
+        "boxes_xywh": boxes_xywh,       # (B, A, 4) pixels
+        "cls_logits": cls_logits,       # (B, A, nc) pre-sigmoid
+        "anchor_strides": anchor_strides,  # (A,)
+        "neck_feats": neck_feats,       # 3 x (B, H, W, C)
+        "raw_levels": raw_levels,       # for the training loss
+    }
