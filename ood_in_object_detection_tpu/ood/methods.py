@@ -1,0 +1,326 @@
+"""OoD method framework: fit on host, decide on device, fixed shapes.
+
+Re-designs the reference ``OODMethod`` hierarchy (ood_utils.py:44-3521) as a
+pure-function protocol over padded box tensors:
+
+    extract: model outputs + matches      -> per-(class[,stride]) activations
+    fit:     activations (+ tpr)          -> state (clusters / thresholds / min-max)
+    decide:  batch outputs + packed state -> (B, max_det) InD mask
+    indness: batch outputs + packed state -> (B, max_det) score in [-1, 1]
+
+Decision conventions (identical to the reference):
+- logits (similarity) methods: score < thr[cls]  => OoD
+  (ood_utils.py:1195-1208); missing threshold counts as thr=0-ish: the
+  reference indexes a python list that holds 0 for unfit classes, so a
+  missing class threshold makes everything InD unless score<0 — we replicate
+  by substituting 0.0 for missing logits thresholds.
+- distance methods: no cluster => OoD; no threshold => OoD; dist < thr => InD
+  (ood_utils.py:2147-2180).
+- INDness piecewise-linear mapping for score fusion:
+  logits ood_utils.py:1224-1283, distance ood_utils.py:1584-1650, clipped to
+  [-1, 1] (CUSTOM_HYP.fusion.CLIP_FUSION_SCORES default True).
+- fusion strategies and/or/score (ood_utils.py:2906-2940), triple majority
+  voting (ood_utils.py:3282-3301).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .distance import (
+    CentroidBank,
+    build_centroid_bank,
+    l2_normalize_rows,
+    min_distance_to_class_centroids,
+    NO_CLUSTER_DISTANCE,
+)
+from .scores import logits_score_fn, LOGITS_METHODS
+from .thresholds import (
+    generate_thresholds_per_class,
+    generate_thresholds_per_class_per_stride,
+    pack_thresholds_per_class,
+    pack_thresholds_per_class_per_stride,
+)
+
+DISTANCE_METHODS = (
+    "L1_cl_stride",
+    "L2_cl_stride",
+    "Cosine_cl_stride",
+    "Umap",
+    "CosineIvis",
+    "L1Ivis",
+    "L2Ivis",
+)
+OOD_METHOD_CHOICES = LOGITS_METHODS + DISTANCE_METHODS
+
+_METRIC_OF = {
+    "L1_cl_stride": "l1",
+    "L2_cl_stride": "l2",
+    "Cosine_cl_stride": "cosine",
+    "Umap": "cosine",
+    "CosineIvis": "cosine",
+    "L1Ivis": "l1",
+    "L2Ivis": "l2",
+}
+
+
+# ---------------------------------------------------------------------------
+# Logits methods
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LogitsOODMethod:
+    """MSP / Energy / ODIN / Sigmoid / NoMethod with per-class thresholds."""
+
+    name: str
+    temper: float = 1.0
+    is_distance_method: bool = False
+    per_class: bool = True
+    per_stride: bool = False
+    # fitted state
+    thresholds: Optional[List[Optional[float]]] = None
+    min_score: Optional[np.ndarray] = None
+    max_score: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        assert self.name in LOGITS_METHODS, self.name
+        self._score = logits_score_fn(self.name, self.temper)
+
+    # -- extraction / fitting (host side, offline) --
+    def scores_from_logits(self, logits: np.ndarray, cls: np.ndarray) -> np.ndarray:
+        """(N, nc), (N,) -> (N,) scores (vectorized reference compute_scores)."""
+        if len(logits) == 0:
+            return np.empty(0, np.float32)
+        return np.asarray(self._score(jnp.asarray(logits), jnp.asarray(cls)))
+
+    def compute_scores_from_activations(
+        self, acts_per_class: Sequence[np.ndarray]
+    ) -> List[np.ndarray]:
+        """acts_per_class[c] = (N_c, nc) logits of valid preds of class c
+        (structure: ood_utils.py:1284-1309). Also records min/max for INDness."""
+        nc = len(acts_per_class)
+        scores = []
+        for c, acts in enumerate(acts_per_class):
+            acts = np.asarray(acts)
+            if acts.size == 0:
+                scores.append(np.empty(0, np.float32))
+            else:
+                scores.append(self.scores_from_logits(acts, np.full(len(acts), c)))
+        self.min_score = np.array([s.min() if s.size else 0.0 for s in scores], np.float32)
+        self.max_score = np.array([s.max() if s.size else 0.0 for s in scores], np.float32)
+        return scores
+
+    def generate_thresholds(self, ind_scores: Sequence[np.ndarray], tpr: float):
+        self.thresholds = generate_thresholds_per_class(ind_scores, tpr, is_distance=False)
+        return self.thresholds
+
+    # -- packed state for jitted decision --
+    def packed_thresholds(self) -> jnp.ndarray:
+        t = pack_thresholds_per_class(self.thresholds)
+        # reference stores 0 for unfit classes (ood_utils.py:612 init `[0 ...]`)
+        return jnp.asarray(np.nan_to_num(t, nan=0.0))
+
+    def decide(self, logits: jnp.ndarray, cls: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+        """(B,N,nc),(B,N),(B,N) -> (B,N) 1=InD / 0=OoD (invalid boxes: 0)."""
+        thr = self.packed_thresholds()[cls]
+        s = self._score(logits, cls)
+        return jnp.where(valid, (s >= thr).astype(jnp.int32), 0)
+
+    def indness(self, logits: jnp.ndarray, cls: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+        """Piecewise-linear INDness in [-1, 1] (ood_utils.py:1224-1283)."""
+        thr = self.packed_thresholds()[cls]
+        mx = jnp.asarray(self.max_score)[cls]
+        mn = jnp.asarray(self.min_score)[cls]
+        s = self._score(logits, cls)
+        pos = (s - thr) / jnp.maximum(mx - thr, 1e-12)
+        neg = (s - thr) / jnp.maximum(thr - mn, 1e-12)
+        ind = jnp.where(s > thr, pos, jnp.where(s < thr, neg, 0.0))
+        ind = jnp.clip(ind, -1.0, 1.0)
+        return jnp.where(valid, ind, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Distance methods
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DistanceOODMethod:
+    """Centroid-distance methods with per-(class, stride) clusters+thresholds.
+
+    ``transform`` defaults to flatten + L2 row normalization
+    (ood_utils.py:2404-2410); dimensionality-reduction variants (SDR) override
+    it with a fitted projection (see ood/sdr.py).
+    """
+
+    name: str
+    metric: str = "cosine"
+    cluster_method: str = "one"
+    cluster_optimization_metric: str = "silhouette"
+    agg: str = "mean"
+    is_distance_method: bool = True
+    per_class: bool = True
+    per_stride: bool = True
+    # fitted state
+    clusters: Optional[List[List[np.ndarray]]] = None
+    thresholds: Optional[List[List[Optional[float]]]] = None
+    min_dist: Optional[np.ndarray] = None
+    max_dist: Optional[np.ndarray] = None
+    _bank: Optional[CentroidBank] = None
+    transform_fn: Optional[Callable] = None  # (acts(N,*), cls, stride)->(N,D)
+
+    @staticmethod
+    def from_name(name: str, cluster_method: str = "one", **kw) -> "DistanceOODMethod":
+        return DistanceOODMethod(name=name, metric=_METRIC_OF[name],
+                                 cluster_method=cluster_method, **kw)
+
+    # -- transform --
+    def transform(self, acts: np.ndarray, cls_idx: int = 0, stride_idx: int = 0) -> np.ndarray:
+        if self.transform_fn is not None:
+            return self.transform_fn(acts, cls_idx, stride_idx)
+        flat = np.asarray(acts, np.float32).reshape(len(acts), -1)
+        return np.asarray(l2_normalize_rows(jnp.asarray(flat)))
+
+    # -- clustering (host side; sklearn grid search in ood/clustering.py) --
+    def generate_clusters(self, acts: Sequence[Sequence[np.ndarray]], logger=None,
+                          min_samples: int = 3):
+        """acts[class][stride] = (N, ...) activations (ood_utils.py:2263-2330)."""
+        from .clustering import fit_cluster_labels
+
+        agg = np.mean if self.agg == "mean" else np.median
+        nc = len(acts)
+        clusters: List[List[np.ndarray]] = [[np.empty(0) for _ in range(3)] for _ in range(nc)]
+        for c in range(nc):
+            for s in range(3):
+                a = acts[c][s]
+                if not isinstance(a, np.ndarray) or a.size == 0 or len(a) <= min_samples:
+                    continue
+                feats = self.transform(a, c, s)
+                if self.cluster_method == "one":
+                    clusters[c][s] = agg(feats, axis=0)[None, :]
+                else:
+                    labels = fit_cluster_labels(
+                        feats, self.cluster_method, self.metric,
+                        self.cluster_optimization_metric,
+                    )
+                    cents = []
+                    for lab in sorted(set(labels.tolist())):
+                        cents.append(agg(feats[labels == lab], axis=0))
+                    clusters[c][s] = np.stack(cents, axis=0)
+        self.clusters = clusters
+        self._bank = None
+        return clusters
+
+    def bank(self) -> CentroidBank:
+        if self._bank is None:
+            dims = [c.shape[-1] for row in self.clusters for c in row
+                    if isinstance(c, np.ndarray) and c.ndim == 2]
+            d = dims[0] if dims else 1
+            self._bank = build_centroid_bank(self.clusters, d)
+        return self._bank
+
+    # -- scoring --
+    def compute_scores_from_activations(
+        self, acts: Sequence[Sequence[np.ndarray]]
+    ) -> List[List[np.ndarray]]:
+        """InD distances per (class, stride) (ood_utils.py:1877-2036)."""
+        from .distance import pairwise_distance
+
+        nc = len(acts)
+        scores: List[List[np.ndarray]] = [[np.empty(0) for _ in range(3)] for _ in range(nc)]
+        for c in range(nc):
+            for s in range(3):
+                a = acts[c][s]
+                cl = self.clusters[c][s]
+                if (not isinstance(a, np.ndarray)) or a.size == 0 or \
+                   (not isinstance(cl, np.ndarray)) or cl.size == 0:
+                    continue
+                feats = self.transform(a, c, s)
+                d = np.asarray(pairwise_distance(jnp.asarray(cl, jnp.float32),
+                                                 jnp.asarray(feats), self.metric))
+                scores[c][s] = d.min(axis=0)
+        self.min_dist = np.array(
+            [[s.min() if s.size else 0.0 for s in row] for row in scores], np.float32)
+        self.max_dist = np.array(
+            [[s.max() if s.size else 0.0 for s in row] for row in scores], np.float32)
+        return scores
+
+    def generate_thresholds(self, ind_scores, tpr: float):
+        self.thresholds = generate_thresholds_per_class_per_stride(
+            ind_scores, tpr, is_distance=True)
+        return self.thresholds
+
+    def packed_thresholds(self) -> jnp.ndarray:
+        return jnp.asarray(pack_thresholds_per_class_per_stride(self.thresholds))
+
+    def distances(self, feats: jnp.ndarray, cls: jnp.ndarray, stride_idx: jnp.ndarray) -> jnp.ndarray:
+        """(N,D) transformed feats -> (N,) min centroid distance."""
+        return min_distance_to_class_centroids(feats, cls, stride_idx, self.bank(), self.metric)
+
+    def decide_from_distances(self, dist: jnp.ndarray, cls: jnp.ndarray,
+                              stride_idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+        thr = self.packed_thresholds()[cls, stride_idx]
+        ind = (dist < thr) & ~jnp.isnan(thr)
+        return jnp.where(valid, ind.astype(jnp.int32), 0)
+
+    def indness_from_distances(self, dist: jnp.ndarray, cls: jnp.ndarray,
+                               stride_idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+        """ood_utils.py:1584-1650 (DISTANCE_USE_IN_DISTRIBUTION_TO_DEFINE_LIMITS)."""
+        thr = self.packed_thresholds()[cls, stride_idx]
+        mx = jnp.asarray(self.max_dist)[cls, stride_idx]
+        mn = jnp.asarray(self.min_dist)[cls, stride_idx]
+        above = -(dist - thr) / jnp.maximum(mx - thr, 1e-12)
+        below = (thr - dist) / jnp.maximum(thr - mn, 1e-12)
+        ind = jnp.where(dist > thr, above, jnp.where(dist < thr, below, 0.0))
+        ind = jnp.clip(ind, -1.0, 1.0)
+        ind = jnp.where(jnp.isnan(thr), -1.0, ind)  # no thr => max OoD (ref :1640)
+        return jnp.where(valid, ind, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Fusion
+# ---------------------------------------------------------------------------
+
+
+def fuse_decisions(strategy: str, *decisions: jnp.ndarray) -> jnp.ndarray:
+    """Fuse 1=InD/0=OoD masks or INDness scores (ood_utils.py:2906-2940;
+    majority for 3 methods ood_utils.py:3282-3301)."""
+    d = jnp.stack(decisions, axis=0)
+    n = d.shape[0]
+    if strategy == "and":
+        return d.max(axis=0)
+    if strategy == "or":
+        return d.min(axis=0)
+    if strategy == "score":
+        return (d.sum(axis=0) > 0).astype(jnp.int32)
+    if strategy == "vote":
+        return (d.sum(axis=0) >= (n // 2 + 1)).astype(jnp.int32)
+    raise ValueError(f"unknown fusion strategy {strategy}")
+
+
+@dataclasses.dataclass
+class FusionOODMethod:
+    """Two (or three) methods fused by and/or/score(/vote).
+
+    Unlike the reference, which runs 2-3 full forward passes per batch with
+    model mutation in between (ood_utils.py:2971-2997, 3326-3363), the TPU
+    pipeline evaluates all member methods from ONE forward pass — every tap
+    (logits + features) is already a declared model output.
+    """
+
+    methods: Sequence[object]
+    strategy: str = "and"
+    name: str = "fusion"
+
+    @property
+    def is_distance_method(self) -> bool:
+        return any(getattr(m, "is_distance_method", False) for m in self.methods)
+
+    def fuse(self, member_outputs: Sequence[jnp.ndarray]) -> jnp.ndarray:
+        return fuse_decisions(self.strategy, *member_outputs)

@@ -1,0 +1,85 @@
+"""Distance-method semantics vs sklearn (reference ood_utils.py:2404-2430)."""
+
+import numpy as np
+import jax.numpy as jnp
+from sklearn.metrics import pairwise_distances
+from sklearn.preprocessing import normalize
+
+from ood_in_object_detection_tpu.ood.distance import (
+    NO_CLUSTER_DISTANCE, build_centroid_bank, l2_normalize_rows,
+    min_distance_to_class_centroids, pairwise_distance,
+)
+from ood_in_object_detection_tpu.ood.methods import DistanceOODMethod
+
+
+def test_pairwise_distance_matches_sklearn(rng):
+    a = rng.normal(0, 1, (4, 16)).astype(np.float32)
+    b = rng.normal(0, 1, (6, 16)).astype(np.float32)
+    for metric in ("l1", "l2", "cosine"):
+        got = np.asarray(pairwise_distance(jnp.asarray(a), jnp.asarray(b), metric))
+        ref = pairwise_distances(a, b, metric=metric)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_l2_normalize_matches_sklearn(rng):
+    x = rng.normal(0, 1, (5, 8)).astype(np.float32)
+    x[2] = 0.0
+    got = np.asarray(l2_normalize_rows(jnp.asarray(x)))
+    ref = normalize(x, axis=1)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_min_distance_routing_and_missing_cluster(rng):
+    # 2 classes, 3 strides; class0/stride0 has 2 centroids, class1 none
+    clusters = [[np.empty(0)] * 3 for _ in range(2)]
+    clusters[0][0] = np.array([[1.0, 0.0], [0.0, 1.0]], np.float32)
+    bank = build_centroid_bank(clusters, feat_dim=2)
+    feats = jnp.asarray([[0.9, 0.0], [0.0, 0.5], [0.3, 0.3]], jnp.float32)
+    cls = jnp.asarray([0, 0, 1], jnp.int32)
+    stride = jnp.asarray([0, 0, 0], jnp.int32)
+    d = np.asarray(min_distance_to_class_centroids(feats, cls, stride, bank, "l2"))
+    np.testing.assert_allclose(d[0], 0.1, atol=1e-5)   # nearest = [1,0]
+    np.testing.assert_allclose(d[1], 0.5, atol=1e-5)   # nearest = [0,1]
+    assert d[2] == NO_CLUSTER_DISTANCE                  # class without cluster
+
+
+def test_distance_method_end_to_end(rng):
+    """fit one-centroid clusters -> scores -> thresholds -> decide."""
+    m = DistanceOODMethod.from_name("Cosine_cl_stride")
+    nc, d = 2, 8
+    acts = [[np.empty(0)] * 3 for _ in range(nc)]
+    base = rng.normal(0, 1, d).astype(np.float32)
+    acts[0][0] = base[None] + rng.normal(0, 0.05, (40, d)).astype(np.float32)
+    m.generate_clusters(acts)
+    assert m.clusters[0][0].shape == (1, d)
+    scores = m.compute_scores_from_activations(acts)
+    assert scores[0][0].shape == (40,)
+    m.generate_thresholds(scores, tpr=0.95)
+    assert m.thresholds[0][0] is not None and m.thresholds[1][0] is None
+
+    # in-distribution sample -> InD; junk sample -> OoD
+    probe = np.stack([acts[0][0][0], -base + rng.normal(0, 1, d).astype(np.float32)])
+    feats = jnp.asarray(m.transform(probe))
+    cls = jnp.asarray([0, 0], jnp.int32)
+    stride = jnp.asarray([0, 0], jnp.int32)
+    dist = m.distances(feats, cls, stride)
+    dec = np.asarray(m.decide_from_distances(dist, cls, stride, jnp.ones(2, bool)))
+    assert dec.tolist() == [1, 0]
+    ind = np.asarray(m.indness_from_distances(dist, cls, stride, jnp.ones(2, bool)))
+    assert ind[0] > 0 > ind[1]
+
+    # class with no cluster -> OoD and indness -1
+    cls1 = jnp.asarray([1], jnp.int32)
+    d1 = m.distances(feats[:1], cls1, stride[:1])
+    assert np.asarray(m.decide_from_distances(d1, cls1, stride[:1], jnp.ones(1, bool)))[0] == 0
+    assert np.asarray(m.indness_from_distances(d1, cls1, stride[:1], jnp.ones(1, bool)))[0] == -1.0
+
+
+def test_multi_cluster_kmeans(rng):
+    m = DistanceOODMethod.from_name("L2_cl_stride", cluster_method="KMeans_3")
+    acts = [[np.empty(0)] * 3]
+    # three well-separated blobs
+    blobs = [rng.normal(c, 0.05, (20, 4)) for c in (0.0, 5.0, 10.0)]
+    acts[0][0] = np.concatenate(blobs).astype(np.float32)
+    m.generate_clusters(acts)
+    assert m.clusters[0][0].shape[0] == 3
