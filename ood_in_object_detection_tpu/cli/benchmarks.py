@@ -1,0 +1,99 @@
+"""Benchmark sweeps (reference ood_evaluation.py:847-1342).
+
+Each benchmark iterates one knob over the grid in constants.BENCHMARKS,
+re-running only the stages the knob invalidates:
+  - conf_thr_test / fusion_strategies: reuse the fitted InD state (reference
+    :1031, :1217 — only test-time knobs change)
+  - used_tpr: refit thresholds only
+  - conf_thr_train / which_split / cluster_methods / logits_methods /
+    best_methods: full refit
+  - unk_loc_enhancement: grid over CUSTOM_HYP.unk dotted paths (:1283-1342)
+"""
+
+from __future__ import annotations
+
+import itertools
+from copy import deepcopy
+from typing import Dict, List
+
+from .. import constants as C
+from ..core.config import CUSTOM_HYP, set_by_dotted_path
+from ..eval.results_writer import append_results
+from .factory import build_ood_method
+
+
+def run_benchmark(args, detector, method, ind_batches, logger) -> None:
+    from .ood_eval import configure_ind, run_eval
+
+    name = args.benchmark
+    rows: List[Dict] = []
+
+    def full_run(local_args, local_method):
+        configure_ind(local_args, detector, local_method, ind_batches, logger)
+        rows.extend(run_eval(local_args, detector, local_method, logger))
+
+    if name in ("best_methods", "logits_methods"):
+        for m_name in C.BENCHMARKS[name]:
+            logger.info("benchmark %s: method=%s", name, m_name)
+            m = build_ood_method(m_name, args.cluster_method,
+                                 args.cluster_optimization_metric,
+                                 args.fusion_strategy,
+                                 args.temperature_energy, args.temperature_odin)
+            a = deepcopy(args); a.ood_method = m_name
+            full_run(a, m)
+    elif name == "used_tpr":
+        acts_done = False
+        for tpr in C.BENCHMARKS["used_tpr"]:
+            a = deepcopy(args); a.tpr_thr = tpr
+            a.load_ind_activations = acts_done or args.load_ind_activations
+            full_run(a, method)
+            acts_done = True
+    elif name in ("conf_thr_train", "which_split_for_ind_scores", "cluster_methods"):
+        grid = C.BENCHMARKS[name]
+        for v in grid:
+            a = deepcopy(args)
+            if name == "conf_thr_train":
+                a.conf_thr_train = v
+                m = method
+            elif name == "which_split_for_ind_scores":
+                a.which_split = v
+                m = method
+            else:
+                a.cluster_method = v
+                m = build_ood_method(args.ood_method, v,
+                                     args.cluster_optimization_metric,
+                                     args.fusion_strategy,
+                                     args.temperature_energy, args.temperature_odin)
+            full_run(a, m)
+    elif name == "conf_thr_test":
+        configure_ind(args, detector, method, ind_batches, logger)
+        for v in C.BENCHMARKS["conf_thr_test"]:
+            a = deepcopy(args); a.conf_thr_test = v
+            rows.extend(run_eval(a, detector, method, logger))
+    elif name == "fusion_strategies":
+        fusion_names, strategies = C.BENCHMARKS["fusion_strategies"]
+        for f_name in fusion_names:
+            m = build_ood_method(f_name, args.cluster_method,
+                                 args.cluster_optimization_metric, "and",
+                                 args.temperature_energy, args.temperature_odin)
+            a0 = deepcopy(args); a0.ood_method = f_name
+            configure_ind(a0, detector, m, ind_batches, logger)
+            for strat in strategies:
+                m.strategy = strat
+                a = deepcopy(a0); a.fusion_strategy = strat
+                rows.extend(run_eval(a, detector, m, logger))
+    elif name == "unk_loc_enhancement":
+        grid_spec = C.BENCHMARKS["unk_loc_enhancement"][0]
+        keys = list(grid_spec)
+        configure_ind(args, detector, method, ind_batches, logger)
+        for combo in itertools.product(*grid_spec.values()):
+            for k, v in zip(keys, combo):
+                set_by_dotted_path(CUSTOM_HYP, k, v)
+            CUSTOM_HYP.unk.USE_UNK_ENHANCEMENT = True
+            a = deepcopy(args); a.enhanced_unk_localization = True
+            rows.extend(run_eval(a, detector, method, logger))
+    else:
+        raise ValueError(f"unknown benchmark {name}")
+
+    out = append_results(rows, C.RESULTS_PATH, f"{name}_{args.name}")
+    logger.info("benchmark results written to %s", out)

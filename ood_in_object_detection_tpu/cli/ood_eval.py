@@ -1,0 +1,196 @@
+"""OoD evaluation CLI — the flag surface mirrors the reference's
+``ood_evaluation.py`` Tap parser (its public API contract,
+ood_evaluation.py:33-176), rebuilt on the TPU-native pipeline.
+
+Flow (reference main(), ood_evaluation.py:662-846):
+  load model -> build InD/OoD dataloaders -> method factory -> InD
+  configuration pipeline (activations -> clusters -> scores -> thresholds,
+  cached on disk under storage/) -> evaluate each OoD dataset -> CSV/XLSX.
+
+Benchmark sweeps (reference :847-1342) iterate one knob and re-run the
+cheapest necessary part of the pipeline per value.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import pickle
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .. import constants as C
+from ..core.config import CUSTOM_HYP, set_by_dotted_path
+from ..data import DetectionDataset, PaddedBatcher
+from ..engine import Detector
+from ..eval.results_writer import (
+    append_results, fill_dataset_results, finalize_row, method_info_row,
+)
+from ..ood.pipeline import evaluate_method, extract_ind_activations, fit_ind_pipeline
+from .factory import build_ood_method
+
+log = logging.getLogger("ood_eval")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("ood_eval", description=__doc__)
+    p.add_argument("--ood_method", required=True,
+                   help="method name or fusion-M1-M2[-M3]")
+    p.add_argument("--model", default="l", choices=["n", "s", "m", "l", "x"])
+    p.add_argument("--model_version", default="yolov8",
+                   choices=["yolov8", "yolov9", "yolov10", "yolo11", "yolo12"])
+    p.add_argument("--model_path", default="", help="checkpoint dir (orbax)")
+    p.add_argument("--device", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--workers", type=int, default=2)
+    p.add_argument("--name", default="prueba")
+    p.add_argument("--logdir", default="logs")
+    p.add_argument("--ind_dataset", required=True, help="dataset yaml path")
+    p.add_argument("--ood_datasets", nargs="+", required=True,
+                   help="dataset yaml paths or registry names")
+    p.add_argument("--ind_split", default="train", choices=["train", "val", "test"])
+    p.add_argument("--ood_split", default="val", choices=["train", "val", "test"])
+    p.add_argument("--owod_task_ind", default="", choices=["", "t1", "t2", "t3", "t4", "all_task_test"])
+    p.add_argument("--owod_task_ood", default="", choices=["", "t1", "t2", "t3", "t4", "all_task_test"])
+    p.add_argument("--owod_tasks_dir", default="")
+    p.add_argument("--conf_thr_train", type=float, default=0.15)
+    p.add_argument("--conf_thr_test", type=float, default=0.15)
+    p.add_argument("--tpr_thr", type=float, default=0.95)
+    p.add_argument("--which_split", default="train", choices=["train", "val", "train_val"])
+    p.add_argument("--cluster_method", default="one")
+    p.add_argument("--cluster_optimization_metric", default="silhouette",
+                   choices=list(C.AVAILABLE_CLUSTER_OPTIMIZATION_METRICS))
+    p.add_argument("--ind_info_creation_option", default="valid_preds_one_stride",
+                   choices=C.IND_INFO_CREATION_OPTIONS)
+    p.add_argument("--fusion_strategy", default="none", choices=["and", "or", "score", "none"])
+    p.add_argument("--enhanced_unk_localization", action="store_true")
+    p.add_argument("--temperature_energy", type=float, default=1.0)
+    p.add_argument("--temperature_odin", type=float, default=1000.0)
+    p.add_argument("--benchmark", default="", choices=[""] + C.AVAILABLE_BENCHMARKS)
+    p.add_argument("--load_ind_activations", action="store_true")
+    p.add_argument("--load_clusters", action="store_true")
+    p.add_argument("--load_thresholds", action="store_true")
+    p.add_argument("--img_size", type=int, default=640)
+    p.add_argument("--compute_metrics", action="store_true", default=True)
+    return p
+
+
+def cache_paths(args, method) -> Dict[str, Path]:
+    """Cache keys mirror define_paths_of_activations_thresholds_and_clusters
+    (reference ood_evaluation.py:291-336)."""
+    ckpt_name = Path(args.model_path).stem if args.model_path else f"{args.model_version}{args.model}"
+    internal = "logits" if not method.is_distance_method else "roi_aligned_ftmaps"
+    base = f"{internal}_conf{args.conf_thr_train}_{ckpt_name}"
+    if method.is_distance_method:
+        base += f"_{args.ind_info_creation_option}"
+    C.STORAGE_PATH.mkdir(parents=True, exist_ok=True)
+    return {
+        "activations": C.STORAGE_PATH / f"{base}_activations.pkl",
+        "clusters": C.STORAGE_PATH / f"{base}_{getattr(method, 'cluster_method', 'None')}_clusters.pkl",
+        "thresholds": C.STORAGE_PATH / f"{base}_tpr{args.tpr_thr}_thresholds.pkl",
+    }
+
+
+def load_detector(args) -> Detector:
+    nc = 20 if (args.owod_task_ind == "t1" or not args.owod_task_ind) else \
+        C.UNKNOWN_CLASS_INDEX
+    if args.model_path:
+        from ..core.checkpoint import load_checkpoint
+
+        variables, meta = load_checkpoint(args.model_path)
+        return Detector.create(meta["model_name"], nc=meta.get("nc", nc),
+                               img_size=args.img_size, variables=variables)
+    name = f"{args.model_version}{args.model}" if args.model_version != "yolov9" else "yolov9c"
+    if args.model_version == "yolov10":
+        name = "yolov10l"
+    return Detector.create(name, nc=nc, img_size=args.img_size)
+
+
+def load_dataset(args, path_or_name: str, split: str, owod_task: str) -> DetectionDataset:
+    return DetectionDataset.from_yaml(
+        path_or_name, split=split, owod_task=owod_task or None,
+        tasks_dir=args.owod_tasks_dir or None)
+
+
+def configure_ind(args, detector, method, batches, logger) -> None:
+    """InD pipeline with disk caching (reference
+    execute_pipeline_for_in_distribution_configuration, ood_evaluation.py:398)."""
+    paths = cache_paths(args, method)
+    if args.load_ind_activations and paths["activations"].exists():
+        acts = pickle.loads(paths["activations"].read_bytes())
+        logger.info("loaded InD activations from %s", paths["activations"])
+    else:
+        t0 = time.perf_counter()
+        acts = extract_ind_activations(detector, batches, method, args.conf_thr_train)
+        logger.info("extracted InD activations in %.1fs", time.perf_counter() - t0)
+        paths["activations"].write_bytes(pickle.dumps({k: v for k, v in acts.items()}))
+    # re-key by position (pickle loses object ids across processes)
+    from ..ood.pipeline import _leaf_methods
+
+    leaves = _leaf_methods(method)
+    if set(acts.keys()) != {id(m) for m in leaves}:
+        acts = {id(m): v for m, v in zip(leaves, acts.values())}
+    fit_ind_pipeline(method, acts, args.tpr_thr, logger)
+    paths["thresholds"].write_bytes(pickle.dumps(
+        [getattr(m, "thresholds", None) for m in leaves]))
+
+
+def run_eval(args, detector, method, logger) -> List[Dict]:
+    rows = []
+    row = method_info_row(method, args.which_split, args.conf_thr_train,
+                          args.conf_thr_test, args.tpr_thr, args.fusion_strategy)
+    for ds_path in args.ood_datasets:
+        ds = load_dataset(args, ds_path, args.ood_split, args.owod_task_ood)
+        batches = PaddedBatcher(ds, args.batch_size, args.img_size)
+        known = list(range(ds.number_of_classes))
+        names = ds.names[: ds.number_of_classes] + ["unknown"]
+        metrics = evaluate_method(
+            detector, batches, method, known, names,
+            conf_thr_test=args.conf_thr_test,
+            enhanced_unk_localization=args.enhanced_unk_localization,
+            logger=logger)
+        logger.info("%s -> %s", ds.yaml_name, metrics)
+        fill_dataset_results(row, _dataset_key(ds.yaml_name), metrics, args.owod_task_ood)
+    rows.append(finalize_row(row, f"{args.model_version}{args.model}", vars(args)))
+    return rows
+
+
+def _dataset_key(yaml_name: str) -> str:
+    for key in ("coco_ood", "coco_mixed", "owod"):
+        if key in yaml_name:
+            return key
+    return "coco_ood"
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    logger = log
+    detector = load_detector(args)
+    method = build_ood_method(
+        args.ood_method, args.cluster_method, args.cluster_optimization_metric,
+        args.fusion_strategy, args.temperature_energy, args.temperature_odin)
+
+    ind = load_dataset(args, args.ind_dataset, args.ind_split, args.owod_task_ind)
+    ind_batches = list(PaddedBatcher(ind, args.batch_size, args.img_size))
+    if args.which_split == "train_val":
+        val = load_dataset(args, args.ind_dataset, "val", args.owod_task_ind)
+        ind_batches += list(PaddedBatcher(val, args.batch_size, args.img_size))
+
+    if args.benchmark:
+        from .benchmarks import run_benchmark
+
+        run_benchmark(args, detector, method, ind_batches, logger)
+        return
+
+    configure_ind(args, detector, method, ind_batches, logger)
+    rows = run_eval(args, detector, method, logger)
+    out = append_results(rows, C.RESULTS_PATH, args.name)
+    logger.info("results written to %s", out)
+
+
+if __name__ == "__main__":
+    main()

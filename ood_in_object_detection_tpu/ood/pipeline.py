@@ -1,0 +1,263 @@
+"""End-to-end OoD pipelines: InD extraction -> fit -> evaluate.
+
+Re-provides the reference's data-iteration machinery as thin host loops
+around the single jitted predict step:
+
+- ``extract_ind_activations``: reference
+  OODMethod.iterate_data_to_extract_ind_activations (ood_utils.py:294-336) —
+  per batch: predict at conf_thr_train, Hungarian-match predictions to
+  targets (ood_utils.py:233-292), bucket the matched boxes' taps per class
+  (logits) or per (class, stride) (RoI features, 'valid_preds_one_stride',
+  the CLI default ood_evaluation.py:61).
+- ``fit_ind_pipeline``: reference
+  execute_pipeline_for_in_distribution_configuration (ood_evaluation.py:398):
+  activations -> [clusters] -> scores -> thresholds.
+- ``evaluate_method``: reference iterate_data_to_compute_metrics
+  (ood_utils.py:428-582): per batch decide InD/OoD, relabel OoD as class 80,
+  optionally add EUL unknown proposals (conf 0.150001, ood_utils.py:530),
+  accumulate and run the OWOD protocol.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import CUSTOM_HYP
+from ..engine import Detector, PredictOutput
+from ..eval.owod_protocol import UNKNOWN_CLASS_INDEX, compute_metrics
+from .distance import l2_normalize_rows, pairwise_distance
+from .matching import match_predictions_to_targets
+from .methods import DistanceOODMethod, FusionOODMethod, LogitsOODMethod
+from .unknown import unknown_proposals_for_image
+
+log = logging.getLogger(__name__)
+
+UNK_PROPOSAL_CONF = 0.150001  # reference ood_utils.py:530
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def _leaf_methods(method) -> List[object]:
+    if isinstance(method, FusionOODMethod):
+        out = []
+        for m in method.methods:
+            out.extend(_leaf_methods(m))
+        return out
+    return [method]
+
+
+def extract_ind_activations(
+    detector: Detector,
+    batches,
+    method,
+    conf_thr_train: float = 0.15,
+    iou_thr_matching: Optional[float] = None,
+) -> Dict[int, object]:
+    """-> {id(leaf_method): activations} for every leaf method in one pass.
+
+    Logits leaves get ``[per-class (N, nc) logits]``; distance leaves get
+    ``[class][stride] -> (N, C_stride)`` RoI features.
+    """
+    iou_thr = CUSTOM_HYP.IOU_THRESHOLD if iou_thr_matching is None else iou_thr_matching
+    nc = detector.nc
+    neck_ch = detector.neck_channels()
+    leaves = _leaf_methods(method)
+    acc: Dict[int, object] = {}
+    for m in leaves:
+        if isinstance(m, LogitsOODMethod):
+            acc[id(m)] = [[] for _ in range(nc)]
+        else:
+            acc[id(m)] = [[[] for _ in range(3)] for _ in range(nc)]
+
+    step = detector.predict_fn(conf_thres=conf_thr_train)
+    for batch in batches:
+        out: PredictOutput = step(detector.variables, batch["images"])
+        boxes = _np(out.det.boxes)
+        cls = _np(out.det.cls)
+        valid = _np(out.det.valid)
+        logits = _np(out.logits)
+        level = _np(out.stride_level)
+        roi = _np(out.roi_feats)
+        bmask = batch.get("batch_mask", np.ones(len(boxes), bool))
+        for i in range(len(boxes)):
+            if not bmask[i]:
+                continue
+            n = int(valid[i].sum())
+            if n == 0:
+                continue
+            tgt_m = batch["gt_mask"][i]
+            matched = match_predictions_to_targets(
+                boxes[i, :n], cls[i, :n].astype(np.float64),
+                batch["gt_bboxes"][i][tgt_m], batch["gt_labels"][i][tgt_m].astype(np.float64),
+                iou_thr,
+            )
+            for j in matched:
+                c = int(cls[i, j])
+                for m in leaves:
+                    if isinstance(m, LogitsOODMethod):
+                        acc[id(m)][c].append(logits[i, j])
+                    else:
+                        s = int(level[i, j])
+                        acc[id(m)][c][s].append(roi[i, j, : neck_ch[s]])
+
+    for m in leaves:
+        a = acc[id(m)]
+        if isinstance(m, LogitsOODMethod):
+            acc[id(m)] = [np.stack(x) if x else np.empty((0, nc), np.float32) for x in a]
+        else:
+            acc[id(m)] = [
+                [np.stack(x) if x else np.empty(0, np.float32) for x in row] for row in a
+            ]
+    return acc
+
+
+def fit_ind_pipeline(method, activations: Dict[int, object], tpr: float = 0.95,
+                     logger=None) -> None:
+    """Clusters (distance) -> InD scores -> thresholds for every leaf method
+    (reference ood_evaluation.py:398-644)."""
+    for m in _leaf_methods(method):
+        acts = activations[id(m)]
+        if isinstance(m, DistanceOODMethod):
+            m.generate_clusters(acts)
+        scores = m.compute_scores_from_activations(acts)
+        m.generate_thresholds(scores, tpr)
+
+
+def _decisions_for_method(method, out: PredictOutput, neck_ch, want_scores: bool):
+    """(B, max_det) decision (or INDness) array for one (possibly fused)
+    method, all from a single PredictOutput."""
+    det = out.det
+    if isinstance(method, FusionOODMethod):
+        want_member_scores = method.strategy == "score"
+        member = [
+            _decisions_for_method(m, out, neck_ch, want_member_scores)
+            for m in method.methods
+        ]
+        return method.fuse(member)
+    if isinstance(method, LogitsOODMethod):
+        fn = method.indness if want_scores else method.decide
+        return fn(out.logits, det.cls, det.valid)
+    assert isinstance(method, DistanceOODMethod)
+    cmax = out.roi_feats.shape[-1]
+    # per-box features: zero out channels beyond the box's stride channel count
+    ch = jnp.asarray(neck_ch)[out.stride_level]              # (B, N)
+    chmask = jnp.arange(cmax)[None, None, :] < ch[..., None]
+    feats = jnp.where(chmask, out.roi_feats, 0.0)
+    flat = l2_normalize_rows(feats.reshape(-1, cmax))
+    level_flat = out.stride_level.reshape(-1)
+    if getattr(method, "sdr_state", None) is not None:
+        # SDR variants: apply the per-stride JAX embedder on device, then
+        # route each box to its stride's embedding (all strides share out_dim)
+        from .sdr import _mlp_apply
+
+        embs = method.sdr_state["embedders"]
+        out_dim = next(e.out_dim for e in embs if e is not None)
+        zs = []
+        for s in range(3):
+            if embs[s] is None:
+                zs.append(jnp.zeros((flat.shape[0], out_dim), flat.dtype))
+            else:
+                f_s = l2_normalize_rows(flat[:, : embs[s].in_dim])
+                zs.append(_mlp_apply(embs[s].params, f_s))
+        flat = jnp.stack(zs, 0)[level_flat, jnp.arange(flat.shape[0])]
+    dist = method.distances(flat, det.cls.reshape(-1), level_flat)
+    dist = dist.reshape(det.cls.shape)
+    fn = (method.indness_from_distances if want_scores else method.decide_from_distances)
+    return fn(dist, det.cls, out.stride_level, det.valid)
+
+
+def evaluate_method(
+    detector: Detector,
+    batches,
+    method,
+    known_classes: Sequence[int],
+    class_names: Sequence[str],
+    conf_thr_test: float = 0.15,
+    enhanced_unk_localization: bool = False,
+    logger=None,
+) -> Dict[str, float]:
+    """Full metric loop (reference ood_utils.py:428-582)."""
+    logger = logger or log
+    neck_ch = detector.neck_channels()
+    step = detector.predict_fn(conf_thres=conf_thr_test)
+    all_preds, all_targets = [], []
+    known_arr = np.asarray(list(known_classes))
+
+    if enhanced_unk_localization:
+        dmethods = [m for m in _leaf_methods(method) if isinstance(m, DistanceOODMethod)]
+        assert dmethods, "EUL requires a distance method (needs clusters)"
+        dm = dmethods[0]
+
+    for batch in batches:
+        out: PredictOutput = step(detector.variables, batch["images"])
+        decisions = _np(_decisions_for_method(method, out, neck_ch, want_scores=False))
+        boxes = _np(out.det.boxes)
+        confs = _np(out.det.conf)
+        cls = _np(out.det.cls)
+        valid = _np(out.det.valid)
+        p3 = _np(out.p3)
+        bmask = batch.get("batch_mask", np.ones(len(boxes), bool))
+        for i in range(len(boxes)):
+            if not bmask[i]:
+                continue
+            n = int(valid[i].sum())
+            b = boxes[i, :n].astype(np.float64)
+            c = cls[i, :n].astype(np.float64)
+            f = confs[i, :n].astype(np.float64)
+            dec = decisions[i, :n]
+            c = np.where(dec == 0, float(UNKNOWN_CLASS_INDEX), c)
+
+            if enhanced_unk_localization:
+                props, _, ranks = unknown_proposals_for_image(
+                    p3[i], batch["ratio_pad"][i], b,
+                    rank_score_fn=_make_rank_fn(dm, p3[i]),
+                )
+                if len(props):
+                    b = np.concatenate([b, props.astype(np.float64)])
+                    c = np.concatenate([c, np.full(len(props), float(UNKNOWN_CLASS_INDEX))])
+                    f = np.concatenate([f, np.full(len(props), UNK_PROPOSAL_CONF)])
+
+            all_preds.append(dict(img_name=batch["im_names"][i], bboxes=b, cls=c, conf=f))
+            tgt_m = batch["gt_mask"][i]
+            tcls = batch["gt_labels"][i][tgt_m].astype(np.float64)
+            tcls = np.where(np.isin(tcls, known_arr), tcls, float(UNKNOWN_CLASS_INDEX))
+            all_targets.append(dict(
+                img_name=batch["im_names"][i],
+                bboxes=batch["gt_bboxes"][i][tgt_m].astype(np.float64),
+                cls=tcls,
+            ))
+
+    return compute_metrics(all_preds, all_targets, list(class_names),
+                           list(known_classes), logger)
+
+
+def _make_rank_fn(dm: DistanceOODMethod, p3_img: np.ndarray):
+    """Rank proposals by reduced distance to all class centroids at stride 0
+    (reference ood_utils.py:1036-1092). Proposals arrive in padded-ftmap
+    coordinates; roi-align them 1x1 against the padded stride-8 map."""
+    from ..ops.roi_align import roi_align_1x1_single_level
+    from .unknown import rank_distances
+
+    def fn(props_ftmap: np.ndarray) -> np.ndarray:
+        feats = np.asarray(roi_align_1x1_single_level(
+            jnp.asarray(p3_img), jnp.asarray(props_ftmap, jnp.float32), 1.0))
+        rows = []
+        for c in range(len(dm.clusters)):
+            cl = dm.clusters[c][0]
+            if isinstance(cl, np.ndarray) and cl.ndim == 2 and cl.size:
+                tf = dm.transform(feats, c, 0)
+                d = np.asarray(pairwise_distance(
+                    jnp.asarray(cl, jnp.float32), jnp.asarray(tf), dm.metric))
+                rows.append(d.min(axis=0))
+        if not rows:
+            return np.zeros(len(props_ftmap), np.float32)
+        return rank_distances(np.stack(rows), CUSTOM_HYP.unk.rank.RANK_BOXES_OPERATION)
+
+    return fn

@@ -1,0 +1,388 @@
+"""Enhanced Unknown Localization (EUL): saliency maps over stride-8 features,
+multi-level thresholding, connected-component box proposals, heuristics +
+distance ranking + NMS.
+
+Capability parity with reference unknown_localization_utils.py and the driver
+in ood_utils.py:641-1174:
+
+- 7 saliency summarizers C-reducing a (H, W, C) feature map to (H, W)
+  (reference unknown_localization_utils.py:45-141; reference layout is CHW,
+  ours is the TPU-native HWC),
+- thresholding: recursive Otsu (default), multi-Otsu, k-means, quantile, and
+  a fast-Otsu pyramid approximation (reference :175-419; skimage is not in
+  this environment so Otsu is implemented here directly on 256-bin
+  histograms — same definition skimage uses),
+- connected components via scipy.ndimage.label (reference uses
+  skimage.measure.label/regionprops; identical 8.. actually 4-connectivity
+  default differs: skimage label default connectivity=2 (8-connected) for
+  2D — we match with an 8-connected structure),
+- proposal postprocess (reference ood_utils.py:934-1174): pad restore, size
+  heuristics, IoU/intersection-vs-preds filters, centroid-distance ranking
+  with mean/max/sum/min/gmean/entropy reductions, greedy NMS on rank score,
+  top-K cap; proposals are marked unknown (decision 0) as in the reference
+  (ood_utils.py:926-932).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy import ndimage
+from scipy.stats import entropy, gmean, median_abs_deviation
+
+from ..core.config import CUSTOM_HYP, UnkEnhancementParams
+
+STRIDES_RATIO = (8, 16, 32)
+
+# ---------------------------------------------------------------------------
+# Saliency summarization (HWC -> HW)
+# ---------------------------------------------------------------------------
+
+
+def ftmap_minus_mean_then_abs_sum(f: np.ndarray) -> np.ndarray:
+    mean = f.mean(axis=(0, 1))
+    return np.abs(f - mean).sum(axis=-1)
+
+
+def ftmap_minus_mean_then_sum(f: np.ndarray) -> np.ndarray:
+    mean = f.mean(axis=(0, 1))
+    return (f - mean).sum(axis=-1)
+
+
+def sum_of_ftmaps(f: np.ndarray) -> np.ndarray:
+    return f.sum(axis=-1)
+
+
+def std_of_ftmaps(f: np.ndarray) -> np.ndarray:
+    return f.std(axis=-1)
+
+
+def iqr_of_ftmaps(f: np.ndarray) -> np.ndarray:
+    return np.percentile(f, 75, axis=-1) - np.percentile(f, 25, axis=-1)
+
+
+def mean_absolute_deviation_of_ftmaps(f: np.ndarray) -> np.ndarray:
+    mean = f.mean(axis=(0, 1))
+    return np.abs(f - mean).mean(axis=-1)
+
+
+def median_absolute_deviation_of_ftmaps(f: np.ndarray) -> np.ndarray:
+    mean = f.mean(axis=(0, 1))
+    return median_abs_deviation(f - mean, axis=-1)
+
+
+SUMMARIZERS = {
+    "ftmap_minus_mean_of_ftmaps_then_abs_sum": ftmap_minus_mean_then_abs_sum,
+    "ftmap_minus_mean_of_ftmaps_then_sum": ftmap_minus_mean_then_sum,
+    "sum_of_ftmaps": sum_of_ftmaps,
+    "std_of_ftmaps": std_of_ftmaps,
+    "iqr_of_ftmaps": iqr_of_ftmaps,
+    "mean_absolute_deviation_of_ftmaps": mean_absolute_deviation_of_ftmaps,
+    "median_absolute_deviation_of_ftmaps": median_absolute_deviation_of_ftmaps,
+}
+
+
+def select_summarizer(name: str) -> Callable:
+    if name not in SUMMARIZERS:
+        raise ValueError(f"invalid summarization method: {name}")
+    return SUMMARIZERS[name]
+
+
+# ---------------------------------------------------------------------------
+# Threshold computation
+# ---------------------------------------------------------------------------
+
+
+def threshold_otsu(values: np.ndarray, nbins: int = 256) -> float:
+    """Classic Otsu on an nbins histogram (skimage.filters.threshold_otsu
+    definition: maximize inter-class variance; returns bin center)."""
+    values = np.asarray(values, np.float64).ravel()
+    counts, edges = np.histogram(values, nbins)
+    centers = (edges[:-1] + edges[1:]) / 2
+    counts = counts.astype(np.float64)
+    w1 = np.cumsum(counts)
+    w2 = np.cumsum(counts[::-1])[::-1]
+    m1 = np.cumsum(counts * centers) / np.maximum(w1, 1e-12)
+    m2 = (np.cumsum((counts * centers)[::-1]) / np.maximum(w2[::-1], 1e-12))[::-1]
+    var12 = w1[:-1] * w2[1:] * (m1[:-1] - m2[1:]) ** 2
+    return float(centers[:-1][np.argmax(var12)])
+
+
+def recursive_otsu(image: np.ndarray, num_classes: int) -> List[float]:
+    """reference unknown_localization_utils.py:175-200: split at Otsu, recurse
+    on each side until depth, return sorted unique thresholds."""
+    thresholds: List[float] = []
+
+    def rec(vals: np.ndarray, depth: int):
+        if depth >= num_classes - 1 or vals.size == 0 or np.ptp(vals) == 0:
+            return
+        t = threshold_otsu(vals)
+        thresholds.append(t)
+        rec(vals[vals <= t], depth + 1)
+        rec(vals[vals > t], depth + 1)
+
+    rec(np.asarray(image).ravel(), 1)
+    return sorted(set(thresholds))
+
+
+def multi_threshold_otsu(image: np.ndarray, num_classes: int, nbins: int = 128) -> List[float]:
+    """Exact multi-Otsu by exhaustive vectorized search over histogram bins
+    (skimage threshold_multiotsu semantics, nbins=128 as the reference
+    passes)."""
+    from itertools import combinations
+
+    vals = np.asarray(image, np.float64).ravel()
+    counts, edges = np.histogram(vals, nbins)
+    centers = (edges[:-1] + edges[1:]) / 2
+    p = counts.astype(np.float64)
+    csum = np.concatenate([[0.0], np.cumsum(p)])
+    cmean = np.concatenate([[0.0], np.cumsum(p * centers)])
+
+    def class_var(lo, hi):  # bins [lo, hi)
+        w = csum[hi] - csum[lo]
+        if w <= 0:
+            return 0.0
+        m = (cmean[hi] - cmean[lo]) / w
+        return w * m * m
+
+    k = num_classes - 1
+    best, best_cut = -1.0, None
+    for cut in combinations(range(1, nbins), k):
+        bounds = (0,) + cut + (nbins,)
+        s = sum(class_var(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1))
+        if s > best:
+            best, best_cut = s, cut
+    return sorted(set(float(centers[c - 1]) for c in best_cut))
+
+
+def k_means_thresholding(image: np.ndarray, num_clusters: int) -> List[float]:
+    from sklearn.cluster import KMeans
+
+    flat = np.asarray(image).ravel().reshape(-1, 1)
+    km = KMeans(n_clusters=num_clusters, random_state=0, n_init="auto").fit(flat)
+    centers = sorted(km.cluster_centers_.ravel().tolist())
+    return sorted(set((centers[i] + centers[i + 1]) / 2 for i in range(len(centers) - 1)))
+
+
+def quantile_thresholding(image: np.ndarray, num_quantiles: int) -> List[float]:
+    qs = np.linspace(0, 1, num_quantiles + 1)[1:-1]
+    return sorted(set(np.quantile(np.asarray(image).ravel(), qs).tolist()))
+
+
+def fast_otsu_pyramid(image: np.ndarray, num_classes: int) -> List[float]:
+    """Histogram-pyramid fast multi-Otsu. The reference's OtsuFastMultithreshold
+    (unknown_localization_utils.py:375-419) ships with a placeholder threshold
+    hunter, reducing to scaled first-guess (mid-histogram) thresholds; here we
+    refine each pyramid guess with one exact Otsu pass over its neighbourhood,
+    which is strictly closer to true multi-Otsu at the same cost class."""
+    k = num_classes - 1
+    vals = np.asarray(image, np.float64).ravel()
+    guesses = np.quantile(vals, np.linspace(0, 1, k + 2)[1:-1])
+    out = []
+    for g in guesses:
+        lo, hi = g - vals.std(), g + vals.std()
+        sel = vals[(vals >= lo) & (vals <= hi)]
+        out.append(threshold_otsu(sel) if sel.size > 16 and np.ptp(sel) > 0 else float(g))
+    return sorted(set(out))
+
+
+def select_thresholding(name: str, num_thresholds: int) -> Callable[[np.ndarray], List[float]]:
+    n = num_thresholds + 1  # reference NUM_THRS = NUM_THRESHOLDS + 1 classes
+    table = {
+        "recursive_otsu": lambda im: recursive_otsu(im, n),
+        "multithreshold_otsu": lambda im: multi_threshold_otsu(im, n),
+        "k_means": lambda im: k_means_thresholding(im, n),
+        "quantile": lambda im: quantile_thresholding(im, n),
+        "fast_otsu": lambda im: fast_otsu_pyramid(im, n),
+    }
+    if name not in table:
+        raise ValueError(f"invalid thresholding method: {name}")
+    return table[name]
+
+
+# ---------------------------------------------------------------------------
+# Connected components -> boxes
+# ---------------------------------------------------------------------------
+
+_EIGHT_CONN = np.ones((3, 3), int)
+
+
+def extract_boxes_from_saliency(saliency: np.ndarray, thresholds: Sequence[float]) -> List[np.ndarray]:
+    """Per threshold: binarize, 8-connected label, one xyxy box per region
+    ([x_min, y_min, x_max, y_max] with exclusive max, matching regionprops
+    bbox; reference unknown_localization_utils.py:16-39)."""
+    out = []
+    for t in thresholds:
+        mask = saliency > t
+        lab, n = ndimage.label(mask, structure=_EIGHT_CONN)
+        boxes = []
+        for sl in ndimage.find_objects(lab):
+            if sl is None:
+                continue
+            ys, xs = sl
+            boxes.append([xs.start, ys.start, xs.stop, ys.stop])
+        out.append(np.asarray(boxes, np.float32).reshape(-1, 4))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Proposal postprocessing
+# ---------------------------------------------------------------------------
+
+
+def _iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    from ..ood.matching import iou_matrix_np
+
+    return iou_matrix_np(a, b)
+
+
+def greedy_nms_np(boxes: np.ndarray, scores: np.ndarray, iou_thr: float) -> np.ndarray:
+    """torchvision.ops.nms semantics: keep indices in descending score order."""
+    order = np.argsort(-scores)
+    keep = []
+    sup = np.zeros(len(boxes), bool)
+    for i in order:
+        if sup[i]:
+            continue
+        keep.append(i)
+        ious = _iou_np(boxes[i : i + 1], boxes)[0]
+        sup |= (ious > iou_thr) & (np.arange(len(boxes)) != i)
+    return np.asarray(keep, int)
+
+
+def rank_distances(dist_matrix: np.ndarray, op: str) -> np.ndarray:
+    """Reduce (n_classes_with_clusters, n_props) distance matrix to a rank
+    score per proposal (reference ood_utils.py:1056-1092)."""
+    if op == "mean":
+        return dist_matrix.mean(axis=0)
+    if op == "max":
+        return dist_matrix.max(axis=0)
+    if op == "sum":
+        return dist_matrix.sum(axis=0)
+    if op == "min":
+        return dist_matrix.min(axis=0) * 100  # reference compensation (:1078)
+    if op == "geometric_mean":
+        return gmean(dist_matrix, axis=0)
+    if op == "entropy":
+        p = dist_matrix / dist_matrix.sum(axis=0, keepdims=True)
+        return entropy(p, axis=0)
+    raise NotImplementedError(op)
+
+
+def postprocess_unk_proposals(
+    boxes_per_thr: List[np.ndarray],
+    padding_xy: Tuple[int, int],
+    unpadded_hw: Tuple[int, int],
+    pred_boxes_ftmap: np.ndarray,
+    rank_score_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    hyp: Optional[UnkEnhancementParams] = None,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Heuristics + ranking + NMS + top-K over raw per-threshold proposals
+    (reference postprocess_unk_bboxes ood_utils.py:934-1174).
+
+    rank_score_fn: maps padded-ftmap-space proposals (n,4) to a rank score per
+    proposal (lower = more unknown with default GET_BOXES_WITH_GREATER_RANK
+    False); typically distance-to-centroid reductions — supplied by the
+    distance method to keep this module method-agnostic.
+    """
+    hyp = hyp or CUSTOM_HYP.unk
+    h, w = unpadded_hw
+    kept, ranks = [], []
+    for idx_thr, props in enumerate(boxes_per_thr):
+        if len(props) == 0:
+            continue
+        props = props.copy()
+        props[:, [0, 2]] += padding_xy[0]
+        props[:, [1, 3]] += padding_xy[1]
+        if not hyp.USE_HEURISTICS:
+            kept.append(props)
+            continue
+        if hyp.USE_SIMPLE_HEURISTICS:
+            if idx_thr == 0 and not hyp.USE_FIRST_THRESHOLD:
+                continue
+            bw = props[:, 2] - props[:, 0]
+            bh = props[:, 3] - props[:, 1]
+            mask = (bw >= hyp.MIN_BOX_SIZE) & (bh >= hyp.MIN_BOX_SIZE)
+            mask &= (bw < int(hyp.MAX_BOX_SIZE_PERCENT * w)) & (bh < int(hyp.MAX_BOX_SIZE_PERCENT * h))
+            props = props[mask]
+            if len(pred_boxes_ftmap) > 0 and len(props) > 0 and hyp.MAX_IOU_WITH_PREDS > 0:
+                ious = _iou_np(props, pred_boxes_ftmap)
+                props = props[ious.max(axis=1) < hyp.MAX_IOU_WITH_PREDS]
+            if len(pred_boxes_ftmap) > 0 and len(props) > 0 and hyp.MAX_INTERSECTION_W_PREDS:
+                lt = np.maximum(props[:, None, :2], pred_boxes_ftmap[None, :, :2])
+                rb = np.minimum(props[:, None, 2:], pred_boxes_ftmap[None, :, 2:])
+                wh = np.clip(rb - lt, 0, None)
+                inter = wh[..., 0] * wh[..., 1]
+                pred_area = np.clip(pred_boxes_ftmap[:, 2] - pred_boxes_ftmap[:, 0], 0, None) * \
+                    np.clip(pred_boxes_ftmap[:, 3] - pred_boxes_ftmap[:, 1], 0, None)
+                ratio = inter / np.maximum(pred_area[None, :], 1e-12)
+                props = props[ratio.max(axis=1) <= hyp.MAX_INTERSECTION_W_PREDS]
+        if len(props) == 0:
+            continue
+        kept.append(props)
+        if hyp.RANK_BOXES and rank_score_fn is not None:
+            ranks.append(rank_score_fn(props))
+
+    if not kept:
+        empty = np.empty((0, 4), np.float32)
+        return (empty, np.empty(0, np.float32)) if (hyp.USE_HEURISTICS and hyp.RANK_BOXES) else (empty, None)
+    all_props = np.concatenate(kept, axis=0).astype(np.float32)
+
+    if not (hyp.USE_HEURISTICS and hyp.RANK_BOXES):
+        return all_props, None
+
+    all_ranks = np.concatenate(ranks) if ranks else np.empty(0, np.float32)
+    if hyp.rank.MAX_NUM_UNK_BOXES_PER_IMAGE > 0 and len(all_ranks) > 0:
+        if hyp.rank.NMS > 0:
+            score = all_ranks if hyp.rank.GET_BOXES_WITH_GREATER_RANK else -all_ranks
+            keep = greedy_nms_np(all_props, score, hyp.rank.NMS)
+        else:
+            keep = np.argsort(all_ranks)
+            if hyp.rank.GET_BOXES_WITH_GREATER_RANK:
+                keep = keep[::-1]
+        all_props = all_props[keep]
+        all_ranks = all_ranks[keep]
+        k = hyp.rank.MAX_NUM_UNK_BOXES_PER_IMAGE
+        all_props, all_ranks = all_props[:k], all_ranks[:k]
+    return all_props, all_ranks
+
+
+def unknown_proposals_for_image(
+    p3_feat: np.ndarray,          # (H, W, C) padded stride-8 neck feature map
+    ratio_pad,                    # ((r, r), (dw, dh)) from letterbox
+    pred_boxes_xyxy: np.ndarray,  # (n, 4) predictions in image pixels
+    rank_score_fn: Optional[Callable] = None,
+    hyp: Optional[UnkEnhancementParams] = None,
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Full EUL pass for one image -> (proposals xyxy in image pixels,
+    decisions (all 0 = unknown), rank scores or None).
+
+    Mirrors compute_extra_possible_unkwnown_bboxes_and_decision
+    (ood_utils.py:641-898): stride-8, unpad by ratio_pad/8, saliency,
+    thresholds, CC boxes, postprocess, scale x8 back to image space.
+    """
+    hyp = hyp or CUSTOM_HYP.unk
+    stride = STRIDES_RATIO[0]
+    (_, _), (dw, dh) = ratio_pad
+    px = int(dw / stride)
+    py = int(dh / stride)
+    H, W = p3_feat.shape[:2]
+    unpadded = p3_feat[py : H - py, px : W - px]
+
+    saliency = select_summarizer(hyp.SUMMARIZATION_METHOD)(unpadded)
+    thr_fn = select_thresholding(hyp.THRESHOLDING_METHOD, hyp.NUM_THRESHOLDS)
+    thresholds = thr_fn(saliency)
+    boxes_per_thr = extract_boxes_from_saliency(saliency, thresholds)
+
+    props, ranks = postprocess_unk_proposals(
+        boxes_per_thr,
+        (px, py),
+        unpadded.shape[:2],
+        pred_boxes_xyxy / stride,
+        rank_score_fn=rank_score_fn,
+        hyp=hyp,
+    )
+    props_img = props * stride
+    decisions = np.zeros(len(props_img), int)  # all proposals are unknown (ref :926-932)
+    return props_img, decisions, ranks

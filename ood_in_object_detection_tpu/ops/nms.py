@@ -81,15 +81,22 @@ def _nms_single(
     keep = lax.fori_loop(0, k, body, top_valid)
 
     final_conf = jnp.where(keep, top_conf, -1.0)
-    sel_conf, sel = lax.top_k(final_conf, max_det)
+    md = min(max_det, k)
+    sel_conf, sel = lax.top_k(final_conf, md)
     valid = sel_conf > conf_thres
     z = jnp.where(valid, 1.0, 0.0)
+    pad = max_det - md
+
+    def p(x):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths)
+
     return Detections(
-        boxes=top_boxes[sel] * z[:, None],
-        conf=jnp.where(valid, sel_conf, 0.0),
-        cls=jnp.where(valid, top_cls[sel], 0),
-        anchor_idx=jnp.where(valid, top_idx[sel], 0),
-        valid=valid,
+        boxes=p(top_boxes[sel] * z[:, None]),
+        conf=p(jnp.where(valid, sel_conf, 0.0)),
+        cls=p(jnp.where(valid, top_cls[sel], 0)),
+        anchor_idx=p(jnp.where(valid, top_idx[sel], 0)),
+        valid=p(valid),
     )
 
 

@@ -1,0 +1,84 @@
+"""Device mesh + sharding helpers (the framework's entire "distributed backend").
+
+The reference scales with torch DDP: subprocess relaunch, NCCL process groups
+and gradient all-reduce (engine/trainer.py:194-284, utils/dist.py). TPU-native
+equivalent: a named ``jax.sharding.Mesh`` over ICI with jit-sharded arrays —
+XLA inserts the collectives. Axes:
+
+- ``data``: batch-dimension data parallelism (DDP equivalent)
+- ``model``: output-channel tensor parallelism for the conv kernels (a design
+  extension; the reference has no TP — SURVEY.md §2.5)
+
+BatchNorm statistics are computed over the *global* batch automatically
+(the jitted program is a single logical computation), which DDP only gets
+with SyncBN.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: Optional[int] = None, model: int = 1, devices=None
+) -> Mesh:
+    """Build a ("data", "model") mesh. Defaults: all devices on the data axis."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def batch_spec() -> P:
+    return P("data")
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_spec(path: tuple, leaf: jnp.ndarray, model_axis_size: int) -> P:
+    """Tensor-parallel spec for a parameter leaf.
+
+    Conv kernels are (kh, kw, cin, cout) in flax; shard cout over "model" when
+    divisible and large enough to be worth the collective. Biases/BN stay
+    replicated.
+    """
+    if model_axis_size <= 1:
+        return P()
+    if leaf.ndim == 4 and leaf.shape[-1] % model_axis_size == 0 and leaf.shape[-1] >= 64:
+        return P(None, None, None, "model")
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """NamedSharding tree for a param pytree under the given mesh."""
+    msize = mesh.shape["model"]
+
+    def to_sharding(path, leaf):
+        return NamedSharding(mesh, param_spec(path, leaf, msize))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def device_put_batch(batch, mesh: Mesh):
+    """Place a host batch dict on the mesh, batch-dim sharded over "data"."""
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
+
+    return jax.tree.map(put, batch)

@@ -1,0 +1,129 @@
+"""YOLOv8-family detection loss in pure JAX.
+
+Semantics parity with reference v8DetectionLoss (ultralytics/utils/loss.py):
+BCE classification on TAL soft targets, CIoU box loss and Distribution Focal
+Loss on assigned anchors, gains box=7.5 / cls=0.5 / dfl=1.5
+(cfg/default.yaml). Operates on fixed-shape padded GT batches.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.head import REG_MAX, make_anchors
+from .tal import assign
+
+
+class LossBreakdown(NamedTuple):
+    total: jnp.ndarray
+    box: jnp.ndarray
+    cls: jnp.ndarray
+    dfl: jnp.ndarray
+
+
+def ciou(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Complete IoU between matched box pairs (..., 4) xyxy
+    (reference utils/metrics.py bbox_iou CIoU=True)."""
+    ax1, ay1, ax2, ay2 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bx1, by1, bx2, by2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    aw, ah = ax2 - ax1, ay2 - ay1
+    bw, bh = bx2 - bx1, by2 - by1
+    inter = jnp.clip(jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1), 0) * jnp.clip(
+        jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1), 0
+    )
+    union = aw * ah + bw * bh - inter + eps
+    iou = inter / union
+    cw = jnp.maximum(ax2, bx2) - jnp.minimum(ax1, bx1)
+    ch = jnp.maximum(ay2, by2) - jnp.minimum(ay1, by1)
+    c2 = cw**2 + ch**2 + eps
+    rho2 = ((bx1 + bx2 - ax1 - ax2) ** 2 + (by1 + by2 - ay1 - ay2) ** 2) / 4
+    v = (4 / math.pi**2) * (jnp.arctan(bw / (bh + eps)) - jnp.arctan(aw / (ah + eps))) ** 2
+    alpha = v / (v - iou + (1 + eps))
+    alpha = jax.lax.stop_gradient(alpha)
+    return iou - (rho2 / c2 + v * alpha)
+
+
+def df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Distribution Focal Loss (reference utils/loss.py BboxLoss._df_loss):
+    cross-entropy against the two integer bins bracketing the target,
+    linearly weighted. pred_dist (..., 4, reg_max) logits, target (..., 4)."""
+    tl = jnp.floor(target).astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(jnp.float32) - target
+    wr = 1.0 - wl
+    logp = jax.nn.log_softmax(pred_dist, axis=-1)
+    ce_l = -jnp.take_along_axis(logp, jnp.clip(tl, 0, REG_MAX - 1)[..., None], -1)[..., 0]
+    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, REG_MAX - 1)[..., None], -1)[..., 0]
+    return (ce_l * wl + ce_r * wr).mean(axis=-1)
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def detection_loss(
+    raw_levels: Sequence[jnp.ndarray],  # 3 x (B, H, W, 4*reg_max+nc)
+    gt_labels: jnp.ndarray,             # (B, M) int32 (-1 or masked = pad)
+    gt_bboxes_xyxy: jnp.ndarray,        # (B, M, 4) in input-image pixels
+    gt_mask: jnp.ndarray,               # (B, M) bool
+    nc: int,
+    box_gain: float = 7.5,
+    cls_gain: float = 0.5,
+    dfl_gain: float = 1.5,
+) -> LossBreakdown:
+    """Total loss * batch_size, as in the reference trainer
+    (utils/loss.py v8DetectionLoss.__call__ returns loss.sum() * batch_size)."""
+    B = raw_levels[0].shape[0]
+    hw = [(f.shape[1], f.shape[2]) for f in raw_levels]
+    anchors, strides = make_anchors(hw)                   # grid units / (A,)
+    flat = [f.reshape(B, -1, f.shape[-1]) for f in raw_levels]
+    x = jnp.concatenate(flat, axis=1).astype(jnp.float32)  # (B, A, 64+nc)
+    pred_dist = x[..., : 4 * REG_MAX].reshape(B, -1, 4, REG_MAX)
+    pred_logits = x[..., 4 * REG_MAX:]
+
+    # decode boxes in grid units for assignment (loss.py bbox_decode)
+    probs = jax.nn.softmax(pred_dist, axis=-1)
+    dist = jnp.einsum("bakr,r->bak", probs, jnp.arange(REG_MAX, dtype=jnp.float32))
+    x1y1 = anchors[None] - dist[..., :2]
+    x2y2 = anchors[None] + dist[..., 2:]
+    pd_bboxes = jnp.concatenate([x1y1, x2y2], -1)         # (B, A, 4) grid units
+
+    # assignment happens in image pixels (loss.py: pred_bboxes * stride_tensor)
+    pd_img = pd_bboxes * strides[None, :, None]
+    anc_img = anchors * strides[:, None]
+
+    res = assign(
+        jax.nn.sigmoid(pred_logits),
+        pd_img,
+        anc_img,
+        jnp.clip(gt_labels, 0, nc - 1).astype(jnp.int32),
+        gt_bboxes_xyxy,
+        gt_mask,
+    )
+
+    target_scores_sum = jnp.maximum(res.target_scores.sum(), 1.0)
+
+    # cls
+    cls_loss = bce_with_logits(pred_logits, res.target_scores).sum() / target_scores_sum
+
+    # box + dfl on foreground anchors
+    fg = res.fg_mask
+    weight = res.target_scores.sum(-1)                    # (B, A)
+    tboxes_grid = res.target_bboxes / strides[None, :, None]
+    pboxes_grid = pd_bboxes
+    iou_term = 1.0 - ciou(pboxes_grid, tboxes_grid)
+    box_loss = jnp.where(fg, iou_term * weight, 0.0).sum() / target_scores_sum
+
+    tdist = jnp.concatenate(
+        [anchors[None] - tboxes_grid[..., :2], tboxes_grid[..., 2:] - anchors[None]], -1
+    )
+    tdist = jnp.clip(tdist, 0, REG_MAX - 1 - 0.01)
+    dfl_term = df_loss(pred_dist, tdist)
+    dfl_loss = jnp.where(fg, dfl_term * weight, 0.0).sum() / target_scores_sum
+
+    total = (box_gain * box_loss + cls_gain * cls_loss + dfl_gain * dfl_loss) * B
+    return LossBreakdown(total, box_loss, cls_loss, dfl_loss)

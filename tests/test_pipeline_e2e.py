@@ -1,0 +1,79 @@
+"""End-to-end pipeline smoke: dataset on disk -> batches -> extract -> fit ->
+evaluate, on a tiny random-init model (plumbing, not quality)."""
+
+import numpy as np
+import pytest
+
+from ood_in_object_detection_tpu.data import DetectionDataset, PaddedBatcher
+from ood_in_object_detection_tpu.engine import Detector
+from ood_in_object_detection_tpu.ood.methods import (
+    DistanceOODMethod, FusionOODMethod, LogitsOODMethod,
+)
+from ood_in_object_detection_tpu.ood.pipeline import (
+    evaluate_method, extract_ind_activations, fit_ind_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("ds")
+    (root / "images").mkdir()
+    (root / "labels").mkdir()
+    rng = np.random.default_rng(0)
+    files = []
+    for i in range(4):
+        img = (rng.uniform(0, 255, (80, 100, 3))).astype(np.uint8)
+        f = root / "images" / f"img{i}.jpg"
+        Image.fromarray(img).save(f)
+        # one box per image, classes 0/1 alternating, one unknown-ish (class 5)
+        cls = i % 2 if i < 3 else 5
+        (root / "labels" / f"img{i}.txt").write_text(f"{cls} 0.5 0.5 0.4 0.5\n")
+        files.append(str(f))
+    return DetectionDataset.from_image_list(files, [f"c{k}" for k in range(6)],
+                                            number_of_classes=2)
+
+
+@pytest.fixture(scope="module")
+def detector():
+    return Detector.create("yolov8n", nc=2, img_size=96)
+
+
+def test_batcher_shapes(tiny_dataset):
+    b = next(iter(PaddedBatcher(tiny_dataset, batch_size=4, img_size=96, max_gt=8)))
+    assert b["images"].shape == (4, 96, 96, 3)
+    assert 0.0 <= b["images"].min() and b["images"].max() <= 1.0
+    assert b["gt_bboxes"].shape == (4, 8, 4)
+    assert b["gt_mask"].sum() == 4
+    # boxes inside the letterboxed frame
+    assert (b["gt_bboxes"][b["gt_mask"]] >= 0).all()
+    assert (b["gt_bboxes"][b["gt_mask"]] <= 96).all()
+
+
+def test_extract_fit_evaluate_logits(tiny_dataset, detector):
+    batches = list(PaddedBatcher(tiny_dataset, batch_size=4, img_size=96, max_gt=8))
+    m = LogitsOODMethod("MSP")
+    acts = extract_ind_activations(detector, batches, m, conf_thr_train=1e-9)
+    assert len(acts[id(m)]) == 2
+    fit_ind_pipeline(m, acts, tpr=0.95)
+    res = evaluate_method(
+        detector, batches, m, known_classes=[0, 1],
+        class_names=["c0", "c1", "unknown"], conf_thr_test=1e-9,
+    )
+    assert isinstance(res, dict) and len(res) >= 4
+
+
+def test_extract_fit_evaluate_fusion_distance(tiny_dataset, detector):
+    batches = list(PaddedBatcher(tiny_dataset, batch_size=4, img_size=96, max_gt=8))
+    m = FusionOODMethod(
+        [LogitsOODMethod("Energy"), DistanceOODMethod.from_name("Cosine_cl_stride")],
+        strategy="or",
+    )
+    acts = extract_ind_activations(detector, batches, m, conf_thr_train=1e-9)
+    fit_ind_pipeline(m, acts, tpr=0.95)
+    res = evaluate_method(
+        detector, batches, m, known_classes=[0, 1],
+        class_names=["c0", "c1", "unknown"], conf_thr_test=1e-9,
+    )
+    assert isinstance(res, dict)
