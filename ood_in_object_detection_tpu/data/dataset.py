@@ -249,23 +249,38 @@ class DetectionDataset:
 # ---------------------------------------------------------------------------
 
 
+def _boxes_to_letterboxed_xyxy(label: Label, ratio_pad) -> np.ndarray:
+    (r, _), (dw, dh) = ratio_pad
+    h, w = label.shape
+    if not label.bboxes.size:
+        return np.empty((0, 4), np.float32)
+    cx = label.bboxes[:, 0] * w * r + dw
+    cy = label.bboxes[:, 1] * h * r + dh
+    bw = label.bboxes[:, 2] * w * r
+    bh = label.bboxes[:, 3] * h * r
+    return np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], 1).astype(np.float32)
+
+
 def load_and_letterbox(label: Label, img_size: int):
     from PIL import Image
 
     with Image.open(label.im_file) as im:
         img = np.asarray(im.convert("RGB"))
     lbimg, ratio_pad = letterbox_np(img, (img_size, img_size))
-    (r, _), (dw, dh) = ratio_pad
-    h, w = label.shape
-    if label.bboxes.size:
-        cx = label.bboxes[:, 0] * w * r + dw
-        cy = label.bboxes[:, 1] * h * r + dh
-        bw = label.bboxes[:, 2] * w * r
-        bh = label.bboxes[:, 3] * h * r
-        xyxy = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], 1)
-    else:
-        xyxy = np.empty((0, 4), np.float32)
-    return lbimg, xyxy.astype(np.float32), ratio_pad
+    return lbimg, _boxes_to_letterboxed_xyxy(label, ratio_pad), ratio_pad
+
+
+def load_and_letterbox_into(label: Label, dst_f32: np.ndarray, img_size: int):
+    """Decode + letterbox + normalize directly into the batch buffer using the
+    native C++ kernel when available (data/native.py)."""
+    from PIL import Image
+
+    from .native import letterbox_into
+
+    with Image.open(label.im_file) as im:
+        img = np.ascontiguousarray(np.asarray(im.convert("RGB")))
+    ratio_pad = letterbox_into(img, dst_f32, img_size)
+    return _boxes_to_letterboxed_xyxy(label, ratio_pad), ratio_pad
 
 
 class PaddedBatcher:
@@ -298,8 +313,7 @@ class PaddedBatcher:
         names = []
         for j in range(B):
             lb = self.ds.labels[idxs[j % n]]
-            img, xyxy, ratio_pad = load_and_letterbox(lb, S)
-            images[j] = img.astype(np.float32) / 255.0
+            xyxy, ratio_pad = load_and_letterbox_into(lb, images[j], S)
             m = min(len(xyxy), self.max_gt)
             gtb[j, :m] = xyxy[:m]
             gtc[j, :m] = lb.cls[:m].astype(np.int32)
