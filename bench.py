@@ -2,12 +2,18 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Measures images/sec/chip for the full jitted pipeline (640x640 forward in
-bf16, fixed-shape NMS, per-box logits gather + MSP scoring + threshold
-decision) on the attached TPU. The reference publishes no throughput numbers
-(BASELINE.md); vs_baseline is measured against a nominal 1000 img/s for the
-reference's single-A100 torch predict+score loop (its per-box Python scoring
-is host-bound), per BASELINE.json's ">=5x A100" north star.
+Measures images/sec/chip for the full pipeline (640x640 bf16 forward,
+fixed-shape NMS, per-box logits gather + MSP scoring + threshold decision) on
+the attached TPU. The benchmark loop runs ON DEVICE inside a single jit
+(lax.fori_loop with a per-iteration input perturbation to defeat
+loop-invariant hoisting) and ends with a host fetch — the remote-dispatch
+tunnel used in this environment has tens-of-ms per-call latency and a
+block_until_ready that returns early, so per-dispatch host timing is
+meaningless; a fused device loop measures the chip itself.
+
+The reference publishes no throughput numbers (BASELINE.md); vs_baseline uses
+a nominal 1000 img/s for the reference's single-A100 torch predict + per-box
+host scoring loop, per BASELINE.json's ">=5x A100" north star.
 """
 
 import json
@@ -15,12 +21,12 @@ import time
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 A100_REFERENCE_IMG_PER_SEC = 1000.0
 BATCH = 32
 IMG = 640
-WARMUP = 3
-ITERS = 20
+LOOP_ITERS = 32
 
 
 def main():
@@ -31,11 +37,9 @@ def main():
     model = build_model("yolov8n", nc=20, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     images = jax.random.uniform(rng, (BATCH, IMG, IMG, 3), jnp.float32)
-    variables = model.init(rng, images[:1], train=False)
-
+    variables = jax.jit(model.init, static_argnames="train")(rng, images[:1], train=False)
     thresholds = jnp.full((20,), 0.5, jnp.float32)
 
-    @jax.jit
     def pipeline(variables, images):
         out = model_forward(model, variables, images)
         det = batched_nms(out["boxes_xywh"], out["cls_logits"],
@@ -43,20 +47,28 @@ def main():
         logits = jnp.take_along_axis(out["cls_logits"], det.anchor_idx[..., None], axis=1)
         scores = msp_score(logits, det.cls)
         ood = jnp.where(det.valid, (scores >= thresholds[det.cls]).astype(jnp.int32), 0)
-        return det.boxes, det.conf, det.cls, det.valid, scores, ood
+        return det.conf.sum() + scores.sum() + ood.sum()
 
-    # warmup / compile
-    for _ in range(WARMUP):
-        out = pipeline(variables, images)
-    jax.block_until_ready(out)
+    @jax.jit
+    def bench_loop(variables, images, iters):
+        def body(i, acc):
+            x = images + (i.astype(jnp.float32) * 1e-9)  # defeat hoisting
+            return acc + pipeline(variables, x)
 
+        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    # compile + warm
+    _ = float(bench_loop(variables, images, 2))
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = pipeline(variables, images)
-    jax.block_until_ready(out)
+    _ = float(bench_loop(variables, images, LOOP_ITERS))  # host fetch = sync
     dt = time.perf_counter() - t0
+    # subtract the measured dispatch overhead using a 1-iteration run
+    t1 = time.perf_counter()
+    _ = float(bench_loop(variables, images, 1))
+    overhead = time.perf_counter() - t1
+    compute = max(dt - max(overhead - dt / LOOP_ITERS, 0.0), 1e-9)
 
-    ips = BATCH * ITERS / dt
+    ips = BATCH * LOOP_ITERS / compute
     print(json.dumps({
         "metric": "images_per_sec_per_chip_yolov8n_detect_score_e2e",
         "value": round(ips, 2),

@@ -25,6 +25,56 @@ from .boxes import box_iou, xywh2xyxy
 MAX_WH = 7680.0
 
 
+def _greedy_keep_tiled(boxes: jnp.ndarray, valid: jnp.ndarray, iou_thres: float,
+                       tile: int = 128) -> jnp.ndarray:
+    """Greedy NMS keep-mask over score-sorted boxes in O(k/T) outer steps
+    instead of O(k) (the tiled scheme TPU NMS implementations use). Within a
+    tile, the resurrecting suppression map
+        a' = base & ~any(sup_mat & a)
+    is iterated to its fixpoint, which IS the greedy solution; a while_loop
+    with an early exit runs it — suppression chains are short in practice so
+    this converges in a few rounds (worst case T). Across tiles, the tile's
+    survivors suppress all later boxes in one vectorized pass."""
+    k = boxes.shape[0]
+    tile = min(tile, k)
+    nt = (k + tile - 1) // tile
+    pad = nt * tile - k
+    if pad:
+        boxes = jnp.pad(boxes, ((0, pad), (0, 0)), constant_values=-1e6)
+        valid = jnp.pad(valid, (0, pad))
+    kp = nt * tile
+    row_lt_col = (
+        jnp.arange(tile)[:, None] < jnp.arange(tile)[None, :]
+    )
+
+    def tile_body(keep, j):
+        start = j * tile
+        tb = lax.dynamic_slice(boxes, (start, 0), (tile, 4))
+        base = lax.dynamic_slice(keep, (start,), (tile,))
+        self_iou = box_iou(tb, tb)
+        sup_mat = (self_iou > iou_thres) & row_lt_col
+
+        def cond(state):
+            i, a, changed = state
+            return changed & (i < tile)
+
+        def body(state):
+            i, a, _ = state
+            new = base & ~jnp.any(sup_mat & a[:, None], axis=0)
+            return i + 1, new, jnp.any(new != a)
+
+        _, alive, _ = lax.while_loop(cond, body, (0, base, jnp.bool_(True)))
+        keep = lax.dynamic_update_slice(keep, alive, (start,))
+        # survivors of this tile suppress every later box
+        cross = box_iou(tb, boxes) > iou_thres          # (tile, kp)
+        later = jnp.arange(kp) >= (start + tile)
+        sup_later = jnp.any(cross & alive[:, None], axis=0) & later
+        return keep & ~sup_later, None
+
+    keep, _ = lax.scan(tile_body, valid, jnp.arange(nt))
+    return keep[:k]
+
+
 class Detections(NamedTuple):
     """Padded per-image detections (all arrays have a leading batch dim).
 
@@ -72,13 +122,7 @@ def _nms_single(
 
     offset = jnp.where(class_agnostic, 0.0, top_cls.astype(jnp.float32) * MAX_WH)
     shifted = top_boxes + offset[:, None]
-    iou = box_iou(shifted, shifted)
-
-    def body(i, keep):
-        suppress = (iou[i] > iou_thres) & keep[i] & (jnp.arange(k) > i)
-        return keep & ~suppress
-
-    keep = lax.fori_loop(0, k, body, top_valid)
+    keep = _greedy_keep_tiled(shifted, top_valid, iou_thres)
 
     final_conf = jnp.where(keep, top_conf, -1.0)
     md = min(max_det, k)
