@@ -59,7 +59,13 @@ def main(argv=None) -> None:
 
     batcher = PaddedBatcher(ds, args.batch_size, args.img_size, max_gt=args.max_gt)
     steps_per_epoch = max(len(batcher), 1)
-    cfg = TrainConfig(lr0=args.lr0, epochs=args.epochs, steps_per_epoch=steps_per_epoch)
+    freeze = ()
+    if args.freeze_backbone:
+        from ..train.trainer import backbone_freeze_prefixes
+
+        freeze = backbone_freeze_prefixes(model.spec)
+    cfg = TrainConfig(lr0=args.lr0, epochs=args.epochs, steps_per_epoch=steps_per_epoch,
+                      freeze_prefixes=freeze)
 
     mesh = make_mesh(model=1)
     rng = jax.random.PRNGKey(0)

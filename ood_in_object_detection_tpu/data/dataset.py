@@ -205,6 +205,51 @@ class DetectionDataset:
         ]
         return cls(labels, list(names), number_of_classes=20, yaml_name=yaml_name)
 
+    @classmethod
+    def from_coco_json(
+        cls,
+        json_file: str,
+        img_root: str,
+        names: Sequence[str],
+        category_id_to_class: Optional[Dict[int, int]] = None,
+        yaml_name: str = "coco_json",
+        skip_missing_images: bool = True,
+    ) -> "DetectionDataset":
+        """Generic COCO-JSON dataset (covers the reference's TAODataset,
+        data/tao.py:52-326: video frames listed in a COCO json with a
+        TAO->COCO category remap table; file_name paths are relative to the
+        dataset root)."""
+        anns = json.loads(Path(json_file).read_text())
+        remap = {int(k): int(v) for k, v in (category_id_to_class or {}).items()}
+        root = Path(img_root)
+        by_id: Dict[int, dict] = {}
+        for im in anns["images"]:
+            f = root / im["file_name"]
+            if skip_missing_images and not f.exists():
+                continue
+            by_id[im["id"]] = dict(im_file=str(f),
+                                   shape=(im["height"], im["width"]),
+                                   cls=[], bboxes=[])
+        for ann in anns.get("annotations", []):
+            rec = by_id.get(ann["image_id"])
+            if rec is None:
+                continue
+            cid = ann["category_id"]
+            c = remap.get(cid, cid)
+            if c is None or c < 0:
+                continue
+            x, y, w, h = ann["bbox"]
+            ih, iw = rec["shape"]
+            rec["cls"].append(c)
+            rec["bboxes"].append([(x + w / 2) / iw, (y + h / 2) / ih, w / iw, h / ih])
+        labels = [
+            Label(r["im_file"], r["shape"],
+                  np.asarray(r["cls"], np.float32),
+                  np.asarray(r["bboxes"], np.float32).reshape(-1, 4))
+            for r in by_id.values()
+        ]
+        return cls(labels, list(names), number_of_classes=len(names), yaml_name=yaml_name)
+
     # ------------------------------------------------------------------ #
     def map_coco_to_owod(self, mapping: Dict[int, int]):
         """Remap classes of COCO-named images (12-digit names) COCO->OWOD

@@ -278,6 +278,18 @@ class DistanceOODMethod:
         elif d_b < d_f:
             bank = bank._replace(centroids=jnp.pad(
                 bank.centroids, ((0, 0), (0, 0), (0, 0), (0, d_f - d_b))))
+        if self.metric in ("cosine", "l2", "euclidean"):
+            # fused Pallas MXU kernel on TPU (ops/pallas/distance.py):
+            # (N, nc*S) group mins, then gather each box's (cls, stride) group
+            from ..ops.pallas.distance import min_group_distances
+
+            nc, s, kmax, dd = bank.centroids.shape
+            groups = bank.centroids.reshape(nc * s, kmax, dd)
+            kmask = (jnp.arange(kmax)[None, :] < bank.count.reshape(-1)[:, None])
+            dmat = min_group_distances(feats, groups, kmask, self.metric)
+            gidx = cls * s + stride_idx
+            dmin = jnp.take_along_axis(dmat, gidx[:, None], axis=1)[:, 0]
+            return jnp.where(jnp.isfinite(dmin), dmin, NO_CLUSTER_DISTANCE)
         return min_distance_to_class_centroids(feats, cls, stride_idx, bank, self.metric)
 
     def decide_from_distances(self, dist: jnp.ndarray, cls: jnp.ndarray,

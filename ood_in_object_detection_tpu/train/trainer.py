@@ -47,6 +47,10 @@ class TrainConfig:
     ema_decay: float = 0.9999
     ema_tau: float = 2000.0
     cos_lr: bool = False
+    # freeze layers whose top-level module name starts with any of these
+    # (reference custom_training.py:145-157 freeze-backbone callback;
+    # v8 backbone = spec layers 0..9 -> ("l0_", ..., "l9_"))
+    freeze_prefixes: tuple = ()
 
 
 def lr_schedule(cfg: TrainConfig) -> Callable[[jnp.ndarray], jnp.ndarray]:
@@ -75,10 +79,32 @@ def _decay_mask(params):
 
 
 def make_optimizer(cfg: TrainConfig):
-    return optax.chain(
+    tx = optax.chain(
         optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask),
         optax.sgd(learning_rate=lr_schedule(cfg), momentum=cfg.momentum, nesterov=True),
     )
+    if cfg.freeze_prefixes:
+        def trainable_mask(params):
+            def per_path(path, _):
+                top = str(getattr(path[0], "key", path[0])) if path else ""
+                return not any(top.startswith(p) for p in cfg.freeze_prefixes)
+            import jax as _jax
+
+            return _jax.tree_util.tree_map_with_path(per_path, params)
+
+        tx = optax.chain(optax.masked(tx, trainable_mask),)
+    return tx
+
+
+def backbone_freeze_prefixes(spec) -> tuple:
+    """Top-level module-name prefixes of the backbone (everything before the
+    first Upsample, mirroring the reference's freeze of model.model[:10])."""
+    out = []
+    for li, (_, _, mod, _) in enumerate(spec):
+        if mod == "Upsample":
+            break
+        out.append(f"l{li}_")
+    return tuple(out)
 
 
 @struct.dataclass
