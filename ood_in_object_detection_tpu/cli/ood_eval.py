@@ -101,7 +101,8 @@ def load_detector(args) -> Detector:
         from ..core.checkpoint import load_checkpoint
 
         variables, meta = load_checkpoint(args.model_path)
-        return Detector.create(meta["model_name"], nc=meta.get("nc", nc),
+        ckpt_nc = meta.get("nc") or meta.get("train_args", {}).get("nc") or nc
+        return Detector.create(meta["model_name"], nc=ckpt_nc,
                                img_size=args.img_size, variables=variables)
     name = f"{args.model_version}{args.model}" if args.model_version != "yolov9" else "yolov9c"
     if args.model_version == "yolov10":

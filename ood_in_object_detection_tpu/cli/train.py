@@ -86,7 +86,7 @@ def main(argv=None) -> None:
             if (epoch + 1) % max(args.val_every, 1) == 0 or epoch == args.epochs - 1:
                 save_checkpoint(
                     Path(args.out_dir) / args.name, state,
-                    train_args={"name": args.name, **vars(args)},
+                    train_args={"name": args.name, "nc": nc, **vars(args)},
                     model_name=name, epoch=epoch)
     log.info("done")
 

@@ -1,0 +1,55 @@
+"""Export + visualization smoke tests (CPU)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def small_detector():
+    from ood_in_object_detection_tpu.engine import Detector
+
+    return Detector.create("yolov8n", nc=2, img_size=64)
+
+
+def test_export_stablehlo(tmp_path, small_detector):
+    from ood_in_object_detection_tpu.utils.export import export_stablehlo
+
+    p = export_stablehlo(small_detector, str(tmp_path / "model.stablehlo.txt"))
+    txt = p.read_text()
+    assert "stablehlo" in txt or "mhlo" in txt or "func.func" in txt
+    assert p.stat().st_size > 10_000
+
+
+def test_visualization_draws_and_saves(tmp_path, rng):
+    from ood_in_object_detection_tpu.utils.visualization import plot_detections_with_ood
+
+    img = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    boxes = np.array([[5, 5, 30, 30], [40, 10, 60, 40]], float)
+    out = plot_detections_with_ood(
+        img, boxes, cls=np.array([0, 1]), conf=np.array([0.9, 0.4]),
+        ood_decision=np.array([1, 0]), class_names=["cat", "dog"],
+        targets_boxes=np.array([[6, 6, 29, 29]]), targets_cls=np.array([0]),
+        unk_proposals=np.array([[10, 45, 25, 60]]),
+        out_path=str(tmp_path / "vis.png"),
+    )
+    assert out.shape == (64, 64, 3)
+    assert (tmp_path / "vis.png").exists()
+    # drawn boxes change pixels vs the input
+    base = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    assert (out != base).any()
+
+
+def test_owod_tools_roundtrip(tmp_path):
+    from ood_in_object_detection_tpu.data.owod_tools import (
+        write_split_txt, write_task_stems_txt,
+    )
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(3):
+        (d / f"im{i}.jpg").write_bytes(b"x")
+    n = write_split_txt([str(d)], str(tmp_path / "train.txt"), relative_to=str(tmp_path))
+    assert n == 3
+    lines = (tmp_path / "train.txt").read_text().split()
+    assert lines[0].startswith("./imgs/")
+    assert write_task_stems_txt(["b", "a", "a"], str(tmp_path / "t1.txt")) == 2
