@@ -174,6 +174,15 @@ def main(argv=None) -> None:
     method = build_ood_method(
         args.ood_method, args.cluster_method, args.cluster_optimization_metric,
         args.fusion_strategy, args.temperature_energy, args.temperature_odin)
+    from ..ood.methods import DistanceOODMethod
+    from ..ood.pipeline import _leaf_methods
+
+    for m in _leaf_methods(method):
+        if isinstance(m, DistanceOODMethod):
+            m.ind_info_creation_option = args.ind_info_creation_option
+            if getattr(args, "which_internal_activations", None) in (
+                    "ftmaps_and_strides_exact_pos",):
+                m.which_internal_activations = args.which_internal_activations
 
     ind = load_dataset(args, args.ind_dataset, args.ind_split, args.owod_task_ind)
     ind_batches = list(PaddedBatcher(ind, args.batch_size, args.img_size))

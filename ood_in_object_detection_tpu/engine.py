@@ -28,10 +28,37 @@ class PredictOutput(NamedTuple):
     det: Detections          # (B, max_det, ...) boxes xyxy / conf / cls / valid
     logits: jnp.ndarray      # (B, max_det, nc) pre-sigmoid class logits per box
     stride_level: jnp.ndarray  # (B, max_det) int32 in {0,1,2}
-    anchor_idx: jnp.ndarray  # (B, max_det) flat anchor index ("exact pos" tap,
-                             # reference predict.py:288-325)
+    anchor_idx: jnp.ndarray  # (B, max_det) flat anchor index
     roi_feats: jnp.ndarray   # (B, max_det, Cmax) 1x1 RoI-aligned neck features
-    p3: jnp.ndarray          # (B, H/8, W/8, C3) stride-8 neck map (EUL tap)
+    exact_feats: jnp.ndarray  # (B, max_det, Cmax) neck feature at the box's own
+                             # anchor cell — the 'ftmaps_and_strides_exact_pos'
+                             # tap (reference predict.py:288-325)
+    neck: tuple              # 3 x (B, H/s, W/s, C_s) PAN neck maps
+                             # (the 'all_ftmaps'/'ftmaps_and_strides' tap;
+                             # neck[0] is the stride-8 EUL map)
+
+    @property
+    def p3(self):
+        return self.neck[0]
+
+
+def _exact_pos_features(neck_feats, anchor_idx, level=None):
+    """Per-box neck feature at the box's own anchor cell (flat-anchor indexing,
+    reference predict.py:288-325 carries flat indices through NMS; here they
+    are gathered on device). The neck maps share the anchor grids, so the flat
+    anchor index addresses the level-concatenated feature rows directly.
+    Channel dims are zero-padded to the max."""
+    del level
+    cmax = max(f.shape[-1] for f in neck_feats)
+    flats = []
+    for f in neck_feats:
+        b, h, w, c = f.shape
+        fl = f.reshape(b, h * w, c)
+        if c < cmax:
+            fl = jnp.pad(fl, ((0, 0), (0, 0), (0, cmax - c)))
+        flats.append(fl)
+    all_flat = jnp.concatenate(flats, axis=1)          # (B, A, Cmax)
+    return jnp.take_along_axis(all_flat, anchor_idx[..., None], axis=1)
 
 
 @dataclasses.dataclass
@@ -75,8 +102,9 @@ class Detector:
             level = jnp.round(jnp.log2(strides / 8.0)).astype(jnp.int32)
             roi = batched_roi_align_1x1(out["neck_feats"], det.boxes, level,
                                         img_w=img_size, samples=samples)
-            return PredictOutput(det, logits, level, det.anchor_idx, roi,
-                                 out["neck_feats"][0])
+            exact = _exact_pos_features(out["neck_feats"], det.anchor_idx, level)
+            return PredictOutput(det, logits, level, det.anchor_idx, roi, exact,
+                                 tuple(out["neck_feats"]))
 
         return step
 

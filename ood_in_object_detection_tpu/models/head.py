@@ -43,10 +43,20 @@ class DetectHead(nn.Module):
     nc: int = 80
     ch: Tuple[int, ...] = (256, 512, 512)
     style: str = "v8"
+    dual: bool = False  # v10 end2end: extra one2one branches on detached feats
+                        # (reference head.py:88-107 forward_end2end, 868-885)
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: Sequence[jax.Array], train: bool = False) -> List[jax.Array]:
+    def __call__(self, feats: Sequence[jax.Array], train: bool = False):
+        outs = self._branches(feats, train, prefix="")
+        if not self.dual:
+            return outs
+        detached = [jax.lax.stop_gradient(f) for f in feats]
+        outs_o2o = self._branches(detached, train, prefix="one2one_")
+        return outs, outs_o2o
+
+    def _branches(self, feats: Sequence[jax.Array], train: bool, prefix: str) -> List[jax.Array]:
         assert len(feats) == len(self.ch)
         c2 = max(16, self.ch[0] // 4, REG_MAX * 4)
         c3 = max(self.ch[0], min(self.nc, 100))
@@ -54,29 +64,29 @@ class DetectHead(nn.Module):
         for i, x in enumerate(feats):
             stride = STRIDES[i]
             # box branch (cv2)
-            b = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
-            b = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(b, train)
-            b = Conv2dRaw(4 * REG_MAX, 1, bias_init_value=1.0, dtype=self.dtype, name=f"cv2_{i}_2")(b)
+            b = Conv(c2, 3, dtype=self.dtype, name=f"{prefix}cv2_{i}_0")(x, train)
+            b = Conv(c2, 3, dtype=self.dtype, name=f"{prefix}cv2_{i}_1")(b, train)
+            b = Conv2dRaw(4 * REG_MAX, 1, bias_init_value=1.0, dtype=self.dtype, name=f"{prefix}cv2_{i}_2")(b)
             # cls branch (cv3); bias init log(5/nc/(640/s)^2) per reference bias_init
             cls_bias = math.log(5 / self.nc / (640 / stride) ** 2)
             if self.style == "v8":
-                c = Conv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
-                c = Conv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(c, train)
+                c = Conv(c3, 3, dtype=self.dtype, name=f"{prefix}cv3_{i}_0")(x, train)
+                c = Conv(c3, 3, dtype=self.dtype, name=f"{prefix}cv3_{i}_1")(c, train)
             elif self.style == "v11":
                 cin = x.shape[-1]
-                c = Conv(cin, 3, g=math.gcd(cin, cin), dtype=self.dtype, name=f"cv3_{i}_0a")(x, train)
-                c = Conv(c3, 1, dtype=self.dtype, name=f"cv3_{i}_0b")(c, train)
-                c = Conv(c3, 3, g=c3, dtype=self.dtype, name=f"cv3_{i}_1a")(c, train)
-                c = Conv(c3, 1, dtype=self.dtype, name=f"cv3_{i}_1b")(c, train)
+                c = Conv(cin, 3, g=math.gcd(cin, cin), dtype=self.dtype, name=f"{prefix}cv3_{i}_0a")(x, train)
+                c = Conv(c3, 1, dtype=self.dtype, name=f"{prefix}cv3_{i}_0b")(c, train)
+                c = Conv(c3, 3, g=c3, dtype=self.dtype, name=f"{prefix}cv3_{i}_1a")(c, train)
+                c = Conv(c3, 1, dtype=self.dtype, name=f"{prefix}cv3_{i}_1b")(c, train)
             elif self.style == "v10":
                 cin = x.shape[-1]
-                c = Conv(cin, 3, g=cin, dtype=self.dtype, name=f"cv3_{i}_0a")(x, train)
-                c = Conv(c3, 1, dtype=self.dtype, name=f"cv3_{i}_0b")(c, train)
-                c = Conv(c3, 3, g=c3, dtype=self.dtype, name=f"cv3_{i}_1a")(c, train)
-                c = Conv(c3, 1, dtype=self.dtype, name=f"cv3_{i}_1b")(c, train)
+                c = Conv(cin, 3, g=cin, dtype=self.dtype, name=f"{prefix}cv3_{i}_0a")(x, train)
+                c = Conv(c3, 1, dtype=self.dtype, name=f"{prefix}cv3_{i}_0b")(c, train)
+                c = Conv(c3, 3, g=c3, dtype=self.dtype, name=f"{prefix}cv3_{i}_1a")(c, train)
+                c = Conv(c3, 1, dtype=self.dtype, name=f"{prefix}cv3_{i}_1b")(c, train)
             else:
                 raise ValueError(f"unknown head style {self.style}")
-            c = Conv2dRaw(self.nc, 1, bias_init_value=cls_bias, dtype=self.dtype, name=f"cv3_{i}_2")(c)
+            c = Conv2dRaw(self.nc, 1, bias_init_value=cls_bias, dtype=self.dtype, name=f"{prefix}cv3_{i}_2")(c)
             outs.append(jnp.concatenate([b, c], axis=-1))
         return outs
 

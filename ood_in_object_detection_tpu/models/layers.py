@@ -79,6 +79,65 @@ class Conv(nn.Module):
         return x
 
 
+class _KernelHolder(nn.Module):
+    """Owns a bare conv kernel param under the same path nn.Conv would use,
+    so StemConv's parameter tree is byte-compatible with Conv's."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", conv_kernel_init, self.shape)
+
+
+class StemConv(nn.Module):
+    """Space-to-depth rewrite of the stem Conv(c2, k=3, s=2).
+
+    A k3/s2 conv on (H, W, 3) starves the MXU/VPU: 3 input channels are
+    padded to the 128-lane tile and the 640x640 grid pays full bandwidth.
+    This module computes the *mathematically identical* convolution as a
+    k2/s1 conv over the 2x2 space-to-depth transform of the input
+    ((H/2, W/2, 12)): kernel tap (ky, kx, py, px) maps to the original tap
+    (2ky+py-1, 2kx+px-1), out-of-range taps are zero. Parameters (and their
+    tree paths) are identical to Conv, so checkpoints and the torch weight
+    importer are unaffected.
+    """
+
+    c2: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1]
+        k3 = _KernelHolder((3, 3, cin, self.c2), name="conv")()
+        k3 = k3.astype(self.dtype)
+        # scatter (3,3,cin,c2) -> (2,2,2,2,cin,c2) [ky,kx,py,px,ci,o]
+        k2 = jnp.zeros((2, 2, 2, 2, cin, self.c2), self.dtype)
+        for ky in range(2):
+            for py in range(2):
+                dy = 2 * ky + py - 1
+                if not 0 <= dy < 3:
+                    continue
+                for kx in range(2):
+                    for px in range(2):
+                        dx = 2 * kx + px - 1
+                        if 0 <= dx < 3:
+                            k2 = k2.at[ky, kx, py, px].set(k3[dy, dx])
+        # reorder to [ky,kx, (py,px,ci), o] matching the s2d channel layout
+        k2 = k2.reshape(2, 2, 4 * cin, self.c2)
+
+        b, h, w, c = x.shape
+        xs = x.astype(self.dtype).reshape(b, h // 2, 2, w // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        y = jax.lax.conv_general_dilated(
+            xs, k2, window_strides=(1, 1), padding=((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=self.dtype, name="bn")(y)
+        return nn.silu(y)
+
+
 class DWConv(nn.Module):
     """Depthwise Conv + BN + SiLU (groups == channels)."""
 

@@ -205,6 +205,12 @@ class YOLODetector(nn.Module):
     max_channels: int = 512
     head_style: str = "v8"
     attn_residual: bool = False  # yolo12 l/x: A2C2f residual=True, mlp_ratio=1.2
+    # Space-to-depth stem rewrite (exact; layers.StemConv). Off by default:
+    # measured on v5e, the 640x3 f32 input relayout costs more than the
+    # better-shaped conv saves (19.8 -> 22.3 ms/batch32). Revisit with a
+    # uint8 on-device-normalize input path.
+    s2d_stem: bool = False
+    v10_dual: bool = False  # v10 end2end dual head (training parity)
     dtype: Any = jnp.float32
 
     def _ch(self, c: int) -> int:
@@ -221,15 +227,23 @@ class YOLODetector(nn.Module):
         for li, (frm, rep, mod, args) in enumerate(self.spec):
             if mod == "Detect":
                 neck_feats = [ys[i] for i in frm]
+                dual = self.v10_dual and self.head_style == "v10"
                 head = DetectHead(
                     nc=self.nc,
                     ch=tuple(f.shape[-1] for f in neck_feats),
                     style=self.head_style,
+                    dual=dual,
                     dtype=dt,
                     name="detect",
                 )
-                raw_levels = head(neck_feats, train)
-                return raw_levels, neck_feats
+                out = head(neck_feats, train)
+                if dual:
+                    # v10 end2end: one2one branch is the inference path
+                    # (reference head.py:100-107); one2many returned third for
+                    # the dual training loss (train/loss.py v10_detection_loss)
+                    raw_main, raw_o2o = out
+                    return raw_o2o, neck_feats, raw_main
+                return out, neck_feats
 
             if isinstance(frm, int):
                 inp = x if frm == -1 else ys[frm]
@@ -239,7 +253,11 @@ class YOLODetector(nn.Module):
             n = self._n(rep)
             if mod == "Conv":
                 c, k, s = args
-                x = L.Conv(self._ch(c), k, s, dtype=dt, name=name)(inp, train)
+                if li == 0 and self.s2d_stem and k == 3 and s == 2 \
+                        and inp.shape[1] % 2 == 0 and inp.shape[2] % 2 == 0:
+                    x = L.StemConv(self._ch(c), dtype=dt, name=name)(inp, train)
+                else:
+                    x = L.Conv(self._ch(c), k, s, dtype=dt, name=name)(inp, train)
             elif mod == "C2f":
                 c = self._ch(args[0])
                 shortcut = args[1] if len(args) > 1 else False
@@ -328,7 +346,8 @@ def model_forward(model: YOLODetector, variables, images, train: bool = False):
     (nn/tasks.py:153-208 + engine/predictor.py:276): a single jitted call
     producing boxes, pre-sigmoid logits and neck feature maps.
     """
-    raw_levels, neck_feats = model.apply(variables, images, train=train)
+    out = model.apply(variables, images, train=train)
+    raw_levels, neck_feats = out[0], out[1]  # v10_dual appends one2many third
     boxes_xywh, cls_logits, anchor_strides = decode_detections(raw_levels, model.nc)
     return {
         "boxes_xywh": boxes_xywh,       # (B, A, 4) pixels

@@ -167,6 +167,12 @@ class DistanceOODMethod:
     is_distance_method: bool = True
     per_class: bool = True
     per_stride: bool = True
+    # 'roi_aligned_ftmaps' | 'ftmaps_and_strides' (same tap here) |
+    # 'ftmaps_and_strides_exact_pos' (anchor-cell feature vector)
+    # (reference constants.py:29, predict.py:155-325)
+    which_internal_activations: str = "roi_aligned_ftmaps"
+    # InD extraction source (reference constants.py:36-46)
+    ind_info_creation_option: str = "valid_preds_one_stride"
     # fitted state
     clusters: Optional[List[List[np.ndarray]]] = None
     thresholds: Optional[List[List[Optional[float]]]] = None

@@ -77,6 +77,7 @@ def extract_ind_activations(
             acc[id(m)] = [[[] for _ in range(3)] for _ in range(nc)]
 
     step = detector.predict_fn(conf_thres=conf_thr_train)
+    img_w = detector.img_size
     for batch in batches:
         out: PredictOutput = step(detector.variables, batch["images"])
         boxes = _np(out.det.boxes)
@@ -85,27 +86,60 @@ def extract_ind_activations(
         logits = _np(out.logits)
         level = _np(out.stride_level)
         roi = _np(out.roi_feats)
+        exact = _np(out.exact_feats)
         bmask = batch.get("batch_mask", np.ones(len(boxes), bool))
+        # lazily computed per-image all-stride RoI features for target/
+        # all-stride options (reference extract_all_strides=True,
+        # predict.py:52-60)
+        neck = None
         for i in range(len(boxes)):
             if not bmask[i]:
                 continue
             n = int(valid[i].sum())
-            if n == 0:
-                continue
             tgt_m = batch["gt_mask"][i]
-            matched = match_predictions_to_targets(
-                boxes[i, :n], cls[i, :n].astype(np.float64),
-                batch["gt_bboxes"][i][tgt_m], batch["gt_labels"][i][tgt_m].astype(np.float64),
-                iou_thr,
-            )
-            for j in matched:
-                c = int(cls[i, j])
-                for m in leaves:
-                    if isinstance(m, LogitsOODMethod):
-                        acc[id(m)][c].append(logits[i, j])
-                    else:
-                        s = int(level[i, j])
-                        acc[id(m)][c][s].append(roi[i, j, : neck_ch[s]])
+            tgt_b = batch["gt_bboxes"][i][tgt_m]
+            tgt_c = batch["gt_labels"][i][tgt_m]
+            matched = []
+            if n > 0:
+                matched = match_predictions_to_targets(
+                    boxes[i, :n], cls[i, :n].astype(np.float64),
+                    tgt_b, tgt_c.astype(np.float64), iou_thr)
+            for m in leaves:
+                if isinstance(m, LogitsOODMethod):
+                    for j in matched:
+                        acc[id(m)][int(cls[i, j])].append(logits[i, j])
+                    continue
+                opt = m.ind_info_creation_option
+                exact_pos = m.which_internal_activations == "ftmaps_and_strides_exact_pos"
+                if opt in ("valid_preds_one_stride", "all_preds_all_strides",
+                           "valid_preds_all_strides"):
+                    idxs = matched if opt != "all_preds_all_strides" else range(n)
+                    for j in idxs:
+                        c = int(cls[i, j])
+                        if opt == "valid_preds_one_stride":
+                            s = int(level[i, j])
+                            feat = (exact if exact_pos else roi)[i, j, : neck_ch[s]]
+                            acc[id(m)][c][s].append(feat)
+                        else:  # all strides of this box
+                            if neck is None:
+                                neck = [_np(f) for f in _all_stride_roi(
+                                    out, boxes, valid, img_w)]
+                            for s in range(3):
+                                acc[id(m)][c][s].append(neck[s][i, j, : neck_ch[s]])
+                elif opt in ("all_targets_one_stride", "all_targets_all_strides"):
+                    if len(tgt_b) == 0:
+                        continue
+                    tgt_roi = _target_roi_feats(out, tgt_b, img_w, image_index=i)
+                    for t in range(len(tgt_b)):
+                        c = int(tgt_c[t])
+                        if opt == "all_targets_all_strides":
+                            for s in range(3):
+                                acc[id(m)][c][s].append(tgt_roi[s][t])
+                        else:
+                            s = _size_to_level(tgt_b[t], img_w)
+                            acc[id(m)][c][s].append(tgt_roi[s][t])
+                else:
+                    raise ValueError(f"unknown ind_info_creation_option {opt}")
 
     for m in leaves:
         a = acc[id(m)]
@@ -116,6 +150,50 @@ def extract_ind_activations(
                 [np.stack(x) if x else np.empty(0, np.float32) for x in row] for row in a
             ]
     return acc
+
+
+def _size_to_level(box_xyxy: np.ndarray, img_w: int) -> int:
+    """FPN-style stride selection by box size for target-based extraction
+    ('all_targets_one_stride', reference constants.py:37 "selected using the
+    bbox size"): small boxes -> P3, medium -> P4, large -> P5."""
+    side = float(np.sqrt(max(box_xyxy[2] - box_xyxy[0], 0) *
+                         max(box_xyxy[3] - box_xyxy[1], 0)))
+    if side < img_w / 8:
+        return 0
+    if side < img_w / 4:
+        return 1
+    return 2
+
+
+def _all_stride_roi(out: PredictOutput, boxes, valid, img_w):
+    """3 x (B, N, C_s) RoI features of every detected box at every stride
+    (reference extract_all_strides=True, predict.py:52-60)."""
+    import jax
+
+    from ..ops.roi_align import roi_align_1x1_single_level
+
+    feats = []
+    bx = out.det.boxes
+    for lvl, fmap in enumerate(out.neck):
+        scale = fmap.shape[2] / img_w
+        fn = lambda f, b: roi_align_1x1_single_level(f, b, scale)
+        feats.append(jax.vmap(fn)(fmap, bx))
+    return feats
+
+
+def _target_roi_feats(out: PredictOutput, tgt_boxes_xyxy: np.ndarray, img_w,
+                      image_index: Optional[int] = None):
+    """3 x (M, C_s) RoI features of ground-truth boxes on one image
+    (target-based InD options, reference ood_utils.py:1655-1720)."""
+    from ..ops.roi_align import roi_align_1x1_single_level
+
+    i = image_index if image_index is not None else 0
+    b = jnp.asarray(tgt_boxes_xyxy, jnp.float32)
+    outs = []
+    for fmap in out.neck:
+        scale = fmap.shape[2] / img_w
+        outs.append(np.asarray(roi_align_1x1_single_level(fmap[i], b, scale)))
+    return outs
 
 
 def fit_ind_pipeline(method, activations: Dict[int, object], tpr: float = 0.95,
@@ -145,11 +223,14 @@ def _decisions_for_method(method, out: PredictOutput, neck_ch, want_scores: bool
         fn = method.indness if want_scores else method.decide
         return fn(out.logits, det.cls, det.valid)
     assert isinstance(method, DistanceOODMethod)
-    cmax = out.roi_feats.shape[-1]
+    base_feats = (out.exact_feats
+                  if method.which_internal_activations == "ftmaps_and_strides_exact_pos"
+                  else out.roi_feats)
+    cmax = base_feats.shape[-1]
     # per-box features: zero out channels beyond the box's stride channel count
     ch = jnp.asarray(neck_ch)[out.stride_level]              # (B, N)
     chmask = jnp.arange(cmax)[None, None, :] < ch[..., None]
-    feats = jnp.where(chmask, out.roi_feats, 0.0)
+    feats = jnp.where(chmask, base_feats, 0.0)
     flat = l2_normalize_rows(feats.reshape(-1, cmax))
     level_flat = out.stride_level.reshape(-1)
     if getattr(method, "sdr_state", None) is not None:

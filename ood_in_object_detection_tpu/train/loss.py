@@ -74,6 +74,7 @@ def detection_loss(
     box_gain: float = 7.5,
     cls_gain: float = 0.5,
     dfl_gain: float = 1.5,
+    assign_topk: int = 10,
 ) -> LossBreakdown:
     """Total loss * batch_size, as in the reference trainer
     (utils/loss.py v8DetectionLoss.__call__ returns loss.sum() * batch_size)."""
@@ -103,6 +104,7 @@ def detection_loss(
         jnp.clip(gt_labels, 0, nc - 1).astype(jnp.int32),
         gt_bboxes_xyxy,
         gt_mask,
+        topk=assign_topk,
     )
 
     target_scores_sum = jnp.maximum(res.target_scores.sum(), 1.0)
@@ -127,3 +129,24 @@ def detection_loss(
 
     total = (box_gain * box_loss + cls_gain * cls_loss + dfl_gain * dfl_loss) * B
     return LossBreakdown(total, box_loss, cls_loss, dfl_loss)
+
+
+def v10_detection_loss(
+    raw_one2many: Sequence[jnp.ndarray],
+    raw_one2one: Sequence[jnp.ndarray],
+    gt_labels: jnp.ndarray,
+    gt_bboxes_xyxy: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    nc: int,
+    **gains,
+) -> LossBreakdown:
+    """v10 end2end dual loss (reference utils/loss.py E2EDetectLoss): standard
+    one2many TAL loss (topk=10) + one2one loss with one-to-one assignment
+    (topk=1). The one2one branch already runs on detached features
+    (models/head.py DetectHead dual=True)."""
+    lm = detection_loss(raw_one2many, gt_labels, gt_bboxes_xyxy, gt_mask, nc,
+                        assign_topk=10, **gains)
+    lo = detection_loss(raw_one2one, gt_labels, gt_bboxes_xyxy, gt_mask, nc,
+                        assign_topk=1, **gains)
+    return LossBreakdown(lm.total + lo.total, lm.box + lo.box,
+                         lm.cls + lo.cls, lm.dfl + lo.dfl)

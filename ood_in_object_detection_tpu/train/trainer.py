@@ -66,7 +66,7 @@ def lr_schedule(cfg: TrainConfig) -> Callable[[jnp.ndarray], jnp.ndarray]:
         else:
             decay = jnp.maximum(1 - frac_epoch / cfg.epochs, 0.0) * (1.0 - cfg.lrf) + cfg.lrf
         base = cfg.lr0 * decay
-        warm = jnp.clip(step / warmup_steps, 0.0, 1.0)
+        warm = jnp.clip((step + 1.0) / warmup_steps, 0.0, 1.0)  # step 0 nonzero
         return base * warm
 
     del total_steps
@@ -136,22 +136,26 @@ def train_step(model: YOLODetector, cfg: TrainConfig, state: TrainState, batch):
     tx = make_optimizer(cfg)
 
     def loss_fn(params):
-        (raw_levels, _), mutated = model.apply(
+        out, mutated = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
             batch["images"],
             train=True,
             mutable=["batch_stats"],
         )
-        lb = detection_loss(
-            raw_levels,
-            batch["gt_labels"],
-            batch["gt_bboxes"],
-            batch["gt_mask"],
-            model.nc,
-            cfg.box_gain,
-            cfg.cls_gain,
-            cfg.dfl_gain,
-        )
+        gains = dict(box_gain=cfg.box_gain, cls_gain=cfg.cls_gain,
+                     dfl_gain=cfg.dfl_gain)
+        if getattr(model, "v10_dual", False) and len(out) == 3:
+            from .loss import v10_detection_loss
+
+            raw_o2o, _, raw_main = out
+            lb = v10_detection_loss(raw_main, raw_o2o, batch["gt_labels"],
+                                    batch["gt_bboxes"], batch["gt_mask"],
+                                    model.nc, **gains)
+        else:
+            raw_levels = out[0]
+            lb = detection_loss(raw_levels, batch["gt_labels"],
+                                batch["gt_bboxes"], batch["gt_mask"],
+                                model.nc, **gains)
         return lb.total, (lb, mutated["batch_stats"])
 
     (loss, (lb, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
