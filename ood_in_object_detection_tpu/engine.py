@@ -70,6 +70,7 @@ class Detector:
     variables: dict
     img_size: int = 640
     roi_samples: int = 4
+    _step_cache: dict = dataclasses.field(default_factory=dict, repr=False)
 
     @classmethod
     def create(cls, name: str, nc: int = 80, img_size: int = 640,
@@ -84,15 +85,21 @@ class Detector:
     def nc(self) -> int:
         return self.model.nc
 
-    def predict_fn(self, conf_thres: float = 0.25, iou_thres: float = 0.45,
-                   max_det: int = 300, pre_nms_k: int = 1024):
-        """Jitted (variables, images) -> PredictOutput."""
+    def _jitted_step(self, iou_thres: float, max_det: int, pre_nms_k: int):
+        """One compiled step per (iou, max_det, k); conf_thres is a *traced*
+        argument so benchmark sweeps over test thresholds never recompile
+        (the reference re-runs predict per threshold, ood_evaluation.py:1015)."""
+        key = (iou_thres, max_det, pre_nms_k)
+        if key in self._step_cache:
+            return self._step_cache[key]
         model = self.model
         img_size = self.img_size
         samples = self.roi_samples
 
         @jax.jit
-        def step(variables, images) -> PredictOutput:
+        def step(variables, images, conf_thres) -> PredictOutput:
+            if images.dtype == jnp.uint8:  # on-device normalize (4x less PCIe)
+                images = images.astype(jnp.float32) * (1.0 / 255.0)
             out = model_forward(model, variables, images)
             det = batched_nms(out["boxes_xywh"], out["cls_logits"],
                               conf_thres=conf_thres, iou_thres=iou_thres,
@@ -106,7 +113,16 @@ class Detector:
             return PredictOutput(det, logits, level, det.anchor_idx, roi, exact,
                                  tuple(out["neck_feats"]))
 
+        self._step_cache[key] = step
         return step
+
+    def predict_fn(self, conf_thres: float = 0.25, iou_thres: float = 0.45,
+                   max_det: int = 300, pre_nms_k: int = 1024):
+        """(variables, images) -> PredictOutput with conf baked as a traced
+        scalar; repeated calls with different conf reuse the same executable."""
+        step = self._jitted_step(iou_thres, max_det, pre_nms_k)
+        return lambda variables, images: step(variables, images,
+                                              jnp.float32(conf_thres))
 
     def predict(self, images, conf_thres: float = 0.25, **kw) -> PredictOutput:
         return self.predict_fn(conf_thres=conf_thres, **kw)(self.variables, images)

@@ -679,6 +679,37 @@ class ADown(nn.Module):
         return jnp.concatenate([x1, x2], axis=-1)
 
 
+class ELAN1(nn.Module):
+    """Small ELAN block (reference block.py ELAN1, yolov9 t/s)."""
+
+    c2: int
+    c3: int
+    c4: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.c3 // 2
+        y = Conv(self.c3, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1, y2 = y[..., :c], y[..., c:]
+        y3 = Conv(self.c4, 3, 1, dtype=self.dtype, name="cv2")(y2, train)
+        y4 = Conv(self.c4, 3, 1, dtype=self.dtype, name="cv3")(y3, train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv4")(
+            jnp.concatenate([y1, y2, y3, y4], axis=-1), train)
+
+
+class AConv(nn.Module):
+    """avgpool(2, s1) + Conv(3, s2) downsample (reference block.py AConv)."""
+
+    c2: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.avg_pool(x, (2, 2), strides=(1, 1), padding="VALID")
+        return Conv(self.c2, 3, 2, dtype=self.dtype, name="cv1")(x, train)
+
+
 class SPPELAN(nn.Module):
     """SPP-ELAN (reference: block.py SPPELAN, yolov9)."""
 

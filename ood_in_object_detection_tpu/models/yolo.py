@@ -164,6 +164,105 @@ SPEC_V12 = [
     ([14, 17, 20], 1, "Detect", []),
 ]
 
+def _spec_v9_gelan(widths, elan1_first: bool, rep_n: int):
+    """GELAN spec template for yolov9 t/s/m (reference cfg/models/v9/*.yaml).
+    widths = per-slot channel table (stem0, stem1, b2(c2,c3,c4), p3, b4, p4,
+    b6, p5, b8, sppelan, head blocks ...)."""
+    w = widths
+    first = ("ELAN1", [w["b2"][0], w["b2"][1], w["b2"][2]]) if elan1_first else \
+        ("RepNCSPELAN4", [w["b2"][0], w["b2"][1], w["b2"][2], rep_n])
+    return [
+        (-1, 1, "Conv", [w["s0"], 3, 2]),
+        (-1, 1, "Conv", [w["s1"], 3, 2]),
+        (-1, 1, first[0], first[1]),
+        (-1, 1, "AConv", [w["p3"]]),
+        (-1, 1, "RepNCSPELAN4", [w["b4"][0], w["b4"][1], w["b4"][2], rep_n]),
+        (-1, 1, "AConv", [w["p4"]]),
+        (-1, 1, "RepNCSPELAN4", [w["b6"][0], w["b6"][1], w["b6"][2], rep_n]),
+        (-1, 1, "AConv", [w["p5"]]),
+        (-1, 1, "RepNCSPELAN4", [w["b8"][0], w["b8"][1], w["b8"][2], rep_n]),
+        (-1, 1, "SPPELAN", [w["spp"][0], w["spp"][1]]),
+        (-1, 1, "Upsample", []),
+        ([-1, 6], 1, "Concat", []),
+        (-1, 1, "RepNCSPELAN4", [w["b6"][0], w["b6"][1], w["b6"][2], rep_n]),
+        (-1, 1, "Upsample", []),
+        ([-1, 4], 1, "Concat", []),
+        (-1, 1, "RepNCSPELAN4", [w["b4"][0], w["b4"][1], w["b4"][2], rep_n]),
+        (-1, 1, "AConv", [w["b6"][2]]),
+        ([-1, 12], 1, "Concat", []),
+        (-1, 1, "RepNCSPELAN4", [w["b6"][0], w["b6"][1], w["b6"][2], rep_n]),
+        (-1, 1, "AConv", [w["b8"][2]]),
+        ([-1, 9], 1, "Concat", []),
+        (-1, 1, "RepNCSPELAN4", [w["b8"][0], w["b8"][1], w["b8"][2], rep_n]),
+        ([15, 18, 21], 1, "Detect", []),
+    ]
+
+
+SPEC_V9T = _spec_v9_gelan(
+    dict(s0=16, s1=32, b2=(32, 32, 16), p3=64, b4=(64, 64, 32), p4=96,
+         b6=(96, 96, 48), p5=128, b8=(128, 128, 64), spp=(128, 64)),
+    elan1_first=True, rep_n=3)
+SPEC_V9S = _spec_v9_gelan(
+    dict(s0=32, s1=64, b2=(64, 64, 32), p3=128, b4=(128, 128, 64), p4=192,
+         b6=(192, 192, 96), p5=256, b8=(256, 256, 128), spp=(256, 128)),
+    elan1_first=True, rep_n=3)
+SPEC_V9M = _spec_v9_gelan(
+    dict(s0=32, s1=64, b2=(128, 128, 64), p3=240, b4=(240, 240, 120), p4=360,
+         b6=(360, 360, 180), p5=480, b8=(480, 480, 240), spp=(480, 240)),
+    elan1_first=False, rep_n=1)
+
+
+def _spec_v10(scale: str):
+    """v10 spec per scale: scales differ only in which blocks are C2fCIB and
+    the long-kernel flag (reference cfg/models/v10/yolov10{n,s,m,b,l,x}.yaml)."""
+    cib = {
+        "n": {8: (False, False), 13: (False, False), 19: (False, False), 22: (True, True)},
+        "s": {8: (True, True), 13: (False, False), 19: (False, False), 22: (True, True)},
+        "m": {8: (True, False), 13: (False, False), 19: (True, False), 22: (True, False)},
+        "b": {8: (True, False), 13: (True, False), 19: (True, False), 22: (True, False)},
+        "l": {8: (True, False), 13: (True, False), 19: (True, False), 22: (True, False)},
+        "x": {6: (True, False), 8: (True, False), 13: (True, False), 19: (True, False), 22: (True, False)},
+    }[scale]
+
+    def blk(idx, c, shortcut=True):
+        use_cib, lk = cib.get(idx, (False, False))
+        if use_cib:
+            return ("C2fCIB", [c, True, lk])
+        return ("C2f", [c] + ([True] if shortcut else []))
+
+    b6 = blk(6, 512)
+    b8 = blk(8, 1024)
+    b13 = blk(13, 512, shortcut=cib.get(13, (False,))[0])
+    b19 = blk(19, 512, shortcut=cib.get(19, (False,))[0])
+    b22 = blk(22, 1024)
+    return [
+        (-1, 1, "Conv", [64, 3, 2]),
+        (-1, 1, "Conv", [128, 3, 2]),
+        (-1, 3, "C2f", [128, True]),
+        (-1, 1, "Conv", [256, 3, 2]),
+        (-1, 6, "C2f", [256, True]),
+        (-1, 1, "SCDown", [512, 3, 2]),
+        (-1, 6, b6[0], b6[1]),
+        (-1, 1, "SCDown", [1024, 3, 2]),
+        (-1, 3, b8[0], b8[1]),
+        (-1, 1, "SPPF", [1024, 5]),
+        (-1, 1, "PSA", [1024]),
+        (-1, 1, "Upsample", []),
+        ([-1, 6], 1, "Concat", []),
+        (-1, 3, b13[0], b13[1]),
+        (-1, 1, "Upsample", []),
+        ([-1, 4], 1, "Concat", []),
+        (-1, 3, "C2f", [256]),
+        (-1, 1, "Conv", [256, 3, 2]),
+        ([-1, 13], 1, "Concat", []),
+        (-1, 3, b19[0], b19[1]),
+        (-1, 1, "SCDown", [512, 3, 2]),
+        ([-1, 10], 1, "Concat", []),
+        (-1, 3, b22[0], b22[1]),
+        ([16, 19, 22], 1, "Detect", []),
+    ]
+
+
 # scale -> (depth, width, max_channels); reference cfg/models/*/*.yaml
 SCALES = {
     "yolov8": {"n": (0.33, 0.25, 1024), "s": (0.33, 0.50, 1024), "m": (0.67, 0.75, 768),
@@ -175,16 +274,34 @@ SCALES = {
     "yolov9": {"c": (1.00, 1.00, 512)},
     "yolov10": {"l": (1.00, 1.00, 512)},
 }
+# per-file v9 variants (no compound scaling) and per-scale v10 specs register
+# as their own spec keys with an empty size suffix
+_V10_SCALES = {"n": (0.33, 0.25, 1024), "s": (0.33, 0.50, 1024),
+               "m": (0.67, 0.75, 768), "b": (0.67, 1.00, 512),
+               "l": (1.00, 1.00, 512), "x": (1.00, 1.25, 512)}
 
 SPECS = {
     "yolov8": SPEC_V8,
+    "yolov9t": SPEC_V9T,
+    "yolov9s": SPEC_V9S,
+    "yolov9m": SPEC_V9M,
     "yolov9": SPEC_V9C,
     "yolov10": SPEC_V10L,
     "yolo11": SPEC_V11,
     "yolo12": SPEC_V12,
 }
+for _s, _sc in _V10_SCALES.items():
+    SPECS[f"yolov10{_s}"] = _spec_v10(_s)
+for _k in ("yolov9t", "yolov9s", "yolov9m"):
+    SCALES[_k] = {"": (1.00, 1.00, 10 ** 9)}
+for _s, _sc in _V10_SCALES.items():
+    SCALES[f"yolov10{_s}"] = {"": _sc}
 
 HEAD_STYLE = {"yolov8": "v8", "yolov9": "v8", "yolov10": "v10", "yolo11": "v11", "yolo12": "v12"}
+for _k in ("yolov9t", "yolov9s", "yolov9m"):
+    HEAD_STYLE[_k] = "v8"
+for _s in _V10_SCALES:
+    HEAD_STYLE[f"yolov10{_s}"] = "v10"
 
 # modules whose repeats column becomes the inner block count n
 _REPEAT_AS_N = {"C2f", "C3k2", "C2fCIB", "C2PSA", "A2C2f"}
@@ -299,6 +416,13 @@ class YOLODetector(nn.Module):
             elif mod == "ADown":
                 c = self._ch(args[0])
                 x = L.ADown(c, dtype=dt, name=name)(inp, train)
+            elif mod == "AConv":
+                c = self._ch(args[0])
+                x = L.AConv(c, dtype=dt, name=name)(inp, train)
+            elif mod == "ELAN1":
+                c2, c3, c4 = args
+                x = L.ELAN1(self._ch(c2), self._ch(c3), self._ch(c4),
+                            dtype=dt, name=name)(inp, train)
             elif mod == "SPPELAN":
                 c2, c3 = args
                 x = L.SPPELAN(self._ch(c2), self._ch(c3), dtype=dt, name=name)(inp, train)

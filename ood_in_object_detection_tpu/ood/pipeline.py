@@ -271,13 +271,41 @@ def evaluate_method(
     all_preds, all_targets = [], []
     known_arr = np.asarray(list(known_classes))
 
+    # benchmark mode: per-batch prediction cache on disk, so sweeps that only
+    # change post-prediction knobs skip the forward entirely (reference
+    # ood_utils.py:450-482 BENCHMARK_MODE temp storage)
+    cache_dir = None
+    if CUSTOM_HYP.BENCHMARK_MODE:
+        import pickle
+
+        from ..constants import TEMPORAL_STORAGE_PATH
+
+        cache_dir = TEMPORAL_STORAGE_PATH
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        cache_tag = f"{getattr(batches, 'tag', 'ds')}_conf{conf_thr_test}"
+
+    def _predict(batch_idx, images):
+        if cache_dir is not None:
+            p = cache_dir / f"{cache_tag}_{batch_idx}.pkl"
+            if p.exists():
+                import pickle
+
+                return PredictOutput(*pickle.loads(p.read_bytes()))
+            out = step(detector.variables, images)
+            out_np = jax.tree.map(np.asarray, tuple(out))
+            import pickle
+
+            p.write_bytes(pickle.dumps(out_np))
+            return out
+        return step(detector.variables, images)
+
     if enhanced_unk_localization:
         dmethods = [m for m in _leaf_methods(method) if isinstance(m, DistanceOODMethod)]
         assert dmethods, "EUL requires a distance method (needs clusters)"
         dm = dmethods[0]
 
-    for batch in batches:
-        out: PredictOutput = step(detector.variables, batch["images"])
+    for batch_idx, batch in enumerate(batches):
+        out: PredictOutput = _predict(batch_idx, batch["images"])
         decisions = _np(_decisions_for_method(method, out, neck_ch, want_scores=False))
         boxes = _np(out.det.boxes)
         confs = _np(out.det.conf)

@@ -162,7 +162,10 @@ def batched_nms(
     Returns:
         Detections with (B, max_det, ...) padded arrays + validity mask.
     """
-    fn = lambda b, l: _nms_single(
-        b, l, conf_thres, iou_thres, max_det, pre_nms_k, class_agnostic, boxes_already_xyxy
+    # conf_thres may be a traced scalar (benchmark sweeps vary it without
+    # recompiling); iou/max_det/pre_nms_k stay static (they shape the graph)
+    fn = lambda b, l, c: _nms_single(
+        b, l, c, iou_thres, max_det, pre_nms_k, class_agnostic, boxes_already_xyxy
     )
-    return jax.vmap(fn)(boxes_xywh, cls_logits)
+    return jax.vmap(fn, in_axes=(0, 0, None))(
+        boxes_xywh, cls_logits, jnp.asarray(conf_thres, jnp.float32))
