@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("ood_eval", description=__doc__)
     p.add_argument("--ood_method", required=True,
                    help="method name or fusion-M1-M2[-M3]")
-    p.add_argument("--model", default="l", choices=["n", "s", "m", "l", "x"])
+    p.add_argument("--model", default="l", choices=["n", "s", "m", "b", "l", "x", "t", "c"])
     p.add_argument("--model_version", default="yolov8",
                    choices=["yolov8", "yolov9", "yolov10", "yolo11", "yolo12"])
     p.add_argument("--model_path", default="", help="checkpoint dir (orbax)")
@@ -55,7 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ood_split", default="val", choices=["train", "val", "test"])
     p.add_argument("--owod_task_ind", default="", choices=["", "t1", "t2", "t3", "t4", "all_task_test"])
     p.add_argument("--owod_task_ood", default="", choices=["", "t1", "t2", "t3", "t4", "all_task_test"])
-    p.add_argument("--owod_tasks_dir", default="")
+    p.add_argument("--owod_tasks_dir", default=str(
+        Path(__file__).resolve().parents[2] / "datasets_utils" / "owod" / "tasks"))
     p.add_argument("--conf_thr_train", type=float, default=0.15)
     p.add_argument("--conf_thr_test", type=float, default=0.15)
     p.add_argument("--tpr_thr", type=float, default=0.95)
@@ -104,9 +105,9 @@ def load_detector(args) -> Detector:
         ckpt_nc = meta.get("nc") or meta.get("train_args", {}).get("nc") or nc
         return Detector.create(meta["model_name"], nc=ckpt_nc,
                                img_size=args.img_size, variables=variables)
-    name = f"{args.model_version}{args.model}" if args.model_version != "yolov9" else "yolov9c"
-    if args.model_version == "yolov10":
-        name = "yolov10l"
+    name = f"{args.model_version}{args.model}"
+    if args.model_version == "yolov9" and args.model in ("l", "x"):
+        name = "yolov9c"  # v9 has t/s/m/c variants only (see models/yolo.py)
     return Detector.create(name, nc=nc, img_size=args.img_size)
 
 

@@ -23,7 +23,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["yolov8", "yolov9", "yolov10", "yolo11", "yolo12"])
     p.add_argument("--dataset", required=True, help="dataset yaml")
     p.add_argument("--owod_task", default="", choices=["", "t1", "t2", "t3", "t4"])
-    p.add_argument("--owod_tasks_dir", default="")
+    p.add_argument("--owod_tasks_dir", default=str(
+        Path(__file__).resolve().parents[2] / "datasets_utils" / "owod" / "tasks"))
     p.add_argument("--number_of_classes", type=int, default=0,
                    help="override nc (reference trainer.py:158-161)")
     p.add_argument("--epochs", type=int, default=100)

@@ -212,6 +212,53 @@ SPEC_V9M = _spec_v9_gelan(
     elan1_first=False, rep_n=1)
 
 
+SPEC_V9E = [
+    (-1, 1, "Identity", []),
+    (-1, 1, "Conv", [64, 3, 2]),
+    (-1, 1, "Conv", [128, 3, 2]),
+    (-1, 1, "RepNCSPELAN4", [256, 128, 64, 2]),
+    (-1, 1, "ADown", [256]),
+    (-1, 1, "RepNCSPELAN4", [512, 256, 128, 2]),
+    (-1, 1, "ADown", [512]),
+    (-1, 1, "RepNCSPELAN4", [1024, 512, 256, 2]),
+    (-1, 1, "ADown", [1024]),
+    (-1, 1, "RepNCSPELAN4", [1024, 512, 256, 2]),
+    (1, 1, "CBLinear", [[64]]),
+    (3, 1, "CBLinear", [[64, 128]]),
+    (5, 1, "CBLinear", [[64, 128, 256]]),
+    (7, 1, "CBLinear", [[64, 128, 256, 512]]),
+    (9, 1, "CBLinear", [[64, 128, 256, 512, 1024]]),
+    (0, 1, "Conv", [64, 3, 2]),
+    ([10, 11, 12, 13, 14, -1], 1, "CBFuse", [[0, 0, 0, 0, 0]]),
+    (-1, 1, "Conv", [128, 3, 2]),
+    ([11, 12, 13, 14, -1], 1, "CBFuse", [[1, 1, 1, 1]]),
+    (-1, 1, "RepNCSPELAN4", [256, 128, 64, 2]),
+    (-1, 1, "ADown", [256]),
+    ([12, 13, 14, -1], 1, "CBFuse", [[2, 2, 2]]),
+    (-1, 1, "RepNCSPELAN4", [512, 256, 128, 2]),
+    (-1, 1, "ADown", [512]),
+    ([13, 14, -1], 1, "CBFuse", [[3, 3]]),
+    (-1, 1, "RepNCSPELAN4", [1024, 512, 256, 2]),
+    (-1, 1, "ADown", [1024]),
+    ([14, -1], 1, "CBFuse", [[4]]),
+    (-1, 1, "RepNCSPELAN4", [1024, 512, 256, 2]),
+    (-1, 1, "SPPELAN", [512, 256]),
+    (-1, 1, "Upsample", []),
+    ([-1, 25], 1, "Concat", []),
+    (-1, 1, "RepNCSPELAN4", [512, 512, 256, 2]),
+    (-1, 1, "Upsample", []),
+    ([-1, 22], 1, "Concat", []),
+    (-1, 1, "RepNCSPELAN4", [256, 256, 128, 2]),  # 35 P3
+    (-1, 1, "ADown", [256]),
+    ([-1, 32], 1, "Concat", []),
+    (-1, 1, "RepNCSPELAN4", [512, 512, 256, 2]),  # 38 P4
+    (-1, 1, "ADown", [512]),
+    ([-1, 29], 1, "Concat", []),
+    (-1, 1, "RepNCSPELAN4", [512, 1024, 512, 2]),  # 41 P5
+    ([35, 38, 41], 1, "Detect", []),
+]
+
+
 def _spec_v10(scale: str):
     """v10 spec per scale: scales differ only in which blocks are C2fCIB and
     the long-kernel flag (reference cfg/models/v10/yolov10{n,s,m,b,l,x}.yaml)."""
@@ -285,6 +332,7 @@ SPECS = {
     "yolov9t": SPEC_V9T,
     "yolov9s": SPEC_V9S,
     "yolov9m": SPEC_V9M,
+    "yolov9e": SPEC_V9E,
     "yolov9": SPEC_V9C,
     "yolov10": SPEC_V10L,
     "yolo11": SPEC_V11,
@@ -292,13 +340,13 @@ SPECS = {
 }
 for _s, _sc in _V10_SCALES.items():
     SPECS[f"yolov10{_s}"] = _spec_v10(_s)
-for _k in ("yolov9t", "yolov9s", "yolov9m"):
+for _k in ("yolov9t", "yolov9s", "yolov9m", "yolov9e"):
     SCALES[_k] = {"": (1.00, 1.00, 10 ** 9)}
 for _s, _sc in _V10_SCALES.items():
     SCALES[f"yolov10{_s}"] = {"": _sc}
 
 HEAD_STYLE = {"yolov8": "v8", "yolov9": "v8", "yolov10": "v10", "yolo11": "v11", "yolo12": "v12"}
-for _k in ("yolov9t", "yolov9s", "yolov9m"):
+for _k in ("yolov9t", "yolov9s", "yolov9m", "yolov9e"):
     HEAD_STYLE[_k] = "v8"
 for _s in _V10_SCALES:
     HEAD_STYLE[f"yolov10{_s}"] = "v10"
@@ -428,6 +476,36 @@ class YOLODetector(nn.Module):
                 x = L.SPPELAN(self._ch(c2), self._ch(c3), dtype=dt, name=name)(inp, train)
             elif mod == "Upsample":
                 x = L.upsample2x(inp)
+            elif mod == "Identity":
+                x = inp
+            elif mod == "CBLinear":
+                # 1x1 conv with bias, output split into channel chunks
+                # (reference block.py CBLinear; yolov9e reversible aux branch)
+                c2s = [self._ch(c) for c in args[0]]
+                y = L.Conv2dRaw(sum(c2s), 1, dtype=dt, name=name)(inp)
+                splits = []
+                off = 0
+                for c in c2s:
+                    splits.append(y[..., off : off + c])
+                    off += c
+                x = tuple(splits)
+            elif mod == "CBFuse":
+                # select chunk idx[i] from each CBLinear input, nearest-resize
+                # to the last input's grid, sum (reference block.py CBFuse)
+                idx = args[0]
+                srcs = [x if i == -1 else ys[i] for i in frm]
+                tgt = srcs[-1]
+                th, tw = tgt.shape[1], tgt.shape[2]
+                acc = tgt
+                for i2, src in enumerate(srcs[:-1]):
+                    chunk = src[idx[i2]]
+                    b, h, w, c = chunk.shape
+                    fy, fx = th // h, tw // w
+                    up = jnp.broadcast_to(
+                        chunk[:, :, None, :, None, :], (b, h, fy, w, fx, c)
+                    ).reshape(b, h * fy, w * fx, c)
+                    acc = acc + up
+                x = acc
             elif mod == "Concat":
                 parts = [x if i == -1 else ys[i] for i in frm]
                 x = jnp.concatenate(parts, axis=-1)
