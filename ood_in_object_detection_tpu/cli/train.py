@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out_dir", default="runs")
     p.add_argument("--max_gt", type=int, default=128)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--no_augment", action="store_true",
+                   help="disable mosaic/HSV/flip (letterbox-only batches)")
+    p.add_argument("--close_mosaic", type=int, default=10)
     return p
 
 
@@ -58,7 +61,14 @@ def main(argv=None) -> None:
     model = build_model(name, nc=nc,
                         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
 
-    batcher = PaddedBatcher(ds, args.batch_size, args.img_size, max_gt=args.max_gt)
+    if args.no_augment:
+        batcher = PaddedBatcher(ds, args.batch_size, args.img_size, max_gt=args.max_gt)
+    else:
+        from ..data.augment import AugmentConfig, AugmentedTrainBatcher
+
+        batcher = AugmentedTrainBatcher(
+            ds, args.batch_size, args.img_size, max_gt=args.max_gt,
+            cfg=AugmentConfig(close_mosaic=args.close_mosaic), epochs=args.epochs)
     steps_per_epoch = max(len(batcher), 1)
     freeze = ()
     if args.freeze_backbone:
