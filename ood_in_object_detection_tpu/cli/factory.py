@@ -4,7 +4,6 @@ methods from the CLI method string, recursively for 'fusion-M1-M2[-M3]'."""
 
 from __future__ import annotations
 
-from typing import List, Optional
 
 from ..constants import DISTANCE_METHODS, LOGITS_METHODS
 from ..ood.methods import DistanceOODMethod, FusionOODMethod, LogitsOODMethod

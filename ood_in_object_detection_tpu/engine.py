@@ -12,7 +12,7 @@ forward pass where the reference runs 2-3 (ood_utils.py:2971-2997).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import NamedTuple, Optional, Tuple
 
 import jax

@@ -24,7 +24,6 @@ Unknown boxes carry class index UNKNOWN_CLASS_INDEX (80).
 from __future__ import annotations
 
 import logging
-from collections import defaultdict
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np

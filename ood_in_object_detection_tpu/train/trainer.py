@@ -18,7 +18,7 @@ utils/torch_utils.py ModelEMA):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Any, Callable, Optional
 
 import jax
