@@ -90,6 +90,39 @@ class _KernelHolder(nn.Module):
         return self.param("kernel", conv_kernel_init, self.shape)
 
 
+class _BNParams(nn.Module):
+    """Declares BatchNorm params/stats under the exact paths nn.BatchNorm
+    uses, without applying it (for folded computations that consume the
+    params directly)."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(), (self.c,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.c,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.c,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.c,), jnp.float32))
+        return dict(scale=scale, bias=bias, mean=mean.value, var=var.value)
+
+
+class ConvBNParams(nn.Module):
+    """Parameter tree byte-compatible with Conv (conv/kernel + bn/*), exposed
+    as raw arrays for folded/fused computations (models/folded_stem.py)."""
+
+    cin: int
+    cout: int
+    k: int = 3
+
+    @nn.compact
+    def __call__(self):
+        kernel = _KernelHolder((self.k, self.k, self.cin, self.cout), name="conv")()
+        bn = _BNParams(self.cout, name="bn")()
+        return kernel, bn
+
+
 class StemConv(nn.Module):
     """Space-to-depth rewrite of the stem Conv(c2, k=3, s=2).
 
