@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=C.IND_INFO_CREATION_OPTIONS)
     p.add_argument("--fusion_strategy", default="none", choices=["and", "or", "score", "none"])
     p.add_argument("--enhanced_unk_localization", action="store_true")
+    p.add_argument("--visualize_oods", action="store_true",
+                   help="render first batches with OoD verdicts (reference"
+                        " ood_evaluation.py visualize_oods)")
     p.add_argument("--temperature_energy", type=float, default=1.0)
     p.add_argument("--temperature_odin", type=float, default=1000.0)
     p.add_argument("--benchmark", default="", choices=[""] + C.AVAILABLE_BENCHMARKS)
@@ -149,11 +152,14 @@ def run_eval(args, detector, method, logger) -> List[Dict]:
         batches = PaddedBatcher(ds, args.batch_size, args.img_size)
         known = list(range(ds.number_of_classes))
         names = ds.names[: ds.number_of_classes] + ["unknown"]
+        vis_dir = None
+        if getattr(args, "visualize_oods", False):
+            vis_dir = str(C.RESULTS_PATH / "visualizations" / f"{args.name}_{ds.yaml_name}")
         metrics = evaluate_method(
             detector, batches, method, known, names,
             conf_thr_test=args.conf_thr_test,
             enhanced_unk_localization=args.enhanced_unk_localization,
-            logger=logger)
+            logger=logger, visualize_dir=vis_dir)
         logger.info("%s -> %s", ds.yaml_name, metrics)
         fill_dataset_results(row, _dataset_key(ds.yaml_name), metrics, args.owod_task_ood)
     rows.append(finalize_row(row, f"{args.model_version}{args.model}", vars(args)))

@@ -263,8 +263,12 @@ def evaluate_method(
     conf_thr_test: float = 0.15,
     enhanced_unk_localization: bool = False,
     logger=None,
+    visualize_dir: Optional[str] = None,
+    visualize_batches: int = 2,
 ) -> Dict[str, float]:
-    """Full metric loop (reference ood_utils.py:428-582)."""
+    """Full metric loop (reference ood_utils.py:428-582). With
+    ``visualize_dir``, the first batches are rendered with OoD verdicts
+    (reference iterate_data_to_plot_with_ood_labels, ood_utils.py:349-427)."""
     logger = logger or log
     neck_ch = detector.neck_channels()
     step = detector.predict_fn(conf_thres=conf_thr_test)
@@ -307,6 +311,12 @@ def evaluate_method(
     for batch_idx, batch in enumerate(batches):
         out: PredictOutput = _predict(batch_idx, batch["images"])
         decisions = _np(_decisions_for_method(method, out, neck_ch, want_scores=False))
+        if visualize_dir and batch_idx < visualize_batches:
+            from ..utils.visualization import plot_batch_results
+
+            plot_batch_results(batch, type("O", (), {"det": out.det})(),
+                               decisions, list(class_names), visualize_dir,
+                               prefix=f"b{batch_idx}_")
         boxes = _np(out.det.boxes)
         confs = _np(out.det.conf)
         cls = _np(out.det.cls)
