@@ -133,14 +133,43 @@ def configure_ind(args, detector, method, batches, logger) -> None:
         logger.info("extracted InD activations in %.1fs", time.perf_counter() - t0)
         paths["activations"].write_bytes(pickle.dumps({k: v for k, v in acts.items()}))
     # re-key by position (pickle loses object ids across processes)
+    from ..ood.methods import DistanceOODMethod
     from ..ood.pipeline import _leaf_methods
 
     leaves = _leaf_methods(method)
     if set(acts.keys()) != {id(m) for m in leaves}:
         acts = {id(m): v for m, v in zip(leaves, acts.values())}
-    fit_ind_pipeline(method, acts, args.tpr_thr, logger)
+
+    # cached clusters (reference load_clusters, ood_evaluation.py:443-545):
+    # restore fitted centroids and skip the grid search
+    clusters_loaded = False
+    if args.load_clusters and paths["clusters"].exists():
+        stored = pickle.loads(paths["clusters"].read_bytes())
+        for m, cl in zip(leaves, stored):
+            if isinstance(m, DistanceOODMethod) and cl is not None:
+                m.clusters = cl
+                m._bank = None
+        clusters_loaded = True
+        logger.info("loaded clusters from %s", paths["clusters"])
+
+    for m in leaves:
+        if isinstance(m, DistanceOODMethod) and not (clusters_loaded and m.clusters):
+            m.generate_clusters(acts[id(m)])
+        scores = m.compute_scores_from_activations(acts[id(m)])
+        m.generate_thresholds(scores, args.tpr_thr)
+
+    # cached thresholds override the refit values (reference load_thresholds)
+    if args.load_thresholds and paths["thresholds"].exists():
+        stored = pickle.loads(paths["thresholds"].read_bytes())
+        for m, thr in zip(leaves, stored):
+            if thr is not None:
+                m.thresholds = thr
+        logger.info("loaded thresholds from %s", paths["thresholds"])
+
+    paths["clusters"].write_bytes(pickle.dumps(
+        [getattr(m, "clusters", None) for m in leaves]))
     paths["thresholds"].write_bytes(pickle.dumps(
-        [getattr(m, "thresholds", None) for m in leaves]))
+        [m.thresholds for m in leaves]))
 
 
 def run_eval(args, detector, method, logger) -> List[Dict]:
