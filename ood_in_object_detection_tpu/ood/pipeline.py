@@ -233,7 +233,10 @@ def _decisions_for_method(method, out: PredictOutput, neck_ch, want_scores: bool
     feats = jnp.where(chmask, base_feats, 0.0)
     flat = l2_normalize_rows(feats.reshape(-1, cmax))
     level_flat = out.stride_level.reshape(-1)
-    if getattr(method, "sdr_state", None) is not None:
+    sdr_active = (getattr(method, "sdr_state", None) is not None
+                  and method.sdr_state["embedders"] is not None
+                  and any(e is not None for e in method.sdr_state["embedders"]))
+    if sdr_active:
         # SDR variants: apply the per-stride JAX embedder on device, then
         # route each box to its stride's embedding (all strides share out_dim)
         from .sdr import _mlp_apply
