@@ -269,6 +269,36 @@ class DistanceOODMethod:
             ind_scores, tpr, is_distance=True)
         return self.thresholds
 
+    def generate_unk_prop_thr(self, acts, tpr: float, rank_op: str = "entropy"):
+        """Threshold over rank-reduced distances of InD stride-0 activations to
+        every class's stride-0 clusters, used to gate EUL unknown proposals
+        (reference compute_scores_from_activations_for_unk_proposals +
+        generate_unk_prop_thr, ood_utils.py:1917-2023)."""
+        from .distance import pairwise_distance
+        from .unknown import rank_distances
+
+        all_scores = []
+        for c, per_cls in enumerate(acts):
+            a = per_cls[0]
+            if not isinstance(a, np.ndarray) or a.size == 0:
+                continue
+            feats = self.transform(a, c, 0)
+            rows = []
+            for c2 in range(len(self.clusters)):
+                cl = self.clusters[c2][0]
+                if isinstance(cl, np.ndarray) and cl.ndim == 2 and cl.size:
+                    d = np.asarray(pairwise_distance(
+                        jnp.asarray(cl, jnp.float32), jnp.asarray(feats), self.metric))
+                    rows.append(d.min(axis=0))
+            if rows:
+                all_scores.append(rank_distances(np.stack(rows), rank_op))
+        if not all_scores:
+            self.unk_prop_thr = None
+            return None
+        scores = np.concatenate(all_scores)
+        self.unk_prop_thr = float(np.percentile(scores, 100 * tpr, method="lower"))
+        return self.unk_prop_thr
+
     def packed_thresholds(self) -> jnp.ndarray:
         return jnp.asarray(pack_thresholds_per_class_per_stride(self.thresholds))
 

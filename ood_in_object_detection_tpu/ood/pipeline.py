@@ -206,6 +206,8 @@ def fit_ind_pipeline(method, activations: Dict[int, object], tpr: float = 0.95,
             m.generate_clusters(acts)
         scores = m.compute_scores_from_activations(acts)
         m.generate_thresholds(scores, tpr)
+        if isinstance(m, DistanceOODMethod) and CUSTOM_HYP.unk.rank.USE_UNK_PROPOSALS_THR:
+            m.generate_unk_prop_thr(acts, tpr, CUSTOM_HYP.unk.rank.RANK_BOXES_OPERATION)
 
 
 def _decisions_for_method(method, out: PredictOutput, neck_ch, want_scores: bool):
@@ -340,6 +342,7 @@ def evaluate_method(
                 props, _, ranks = unknown_proposals_for_image(
                     p3[i], batch["ratio_pad"][i], b,
                     rank_score_fn=_make_rank_fn(dm, p3[i]),
+                    unk_prop_thr=getattr(dm, "unk_prop_thr", None),
                 )
                 if len(props):
                     b = np.concatenate([b, props.astype(np.float64)])

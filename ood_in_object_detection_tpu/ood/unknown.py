@@ -277,6 +277,7 @@ def postprocess_unk_proposals(
     pred_boxes_ftmap: np.ndarray,
     rank_score_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
     hyp: Optional[UnkEnhancementParams] = None,
+    unk_prop_thr: Optional[float] = None,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Heuristics + ranking + NMS + top-K over raw per-threshold proposals
     (reference postprocess_unk_bboxes ood_utils.py:934-1174).
@@ -343,6 +344,11 @@ def postprocess_unk_proposals(
                 keep = keep[::-1]
         all_props = all_props[keep]
         all_ranks = all_ranks[keep]
+        if hyp.rank.USE_UNK_PROPOSALS_THR and unk_prop_thr is not None:
+            # gate proposals by the InD rank-score threshold (reference
+            # ood_utils.py:1146-1160 `distances < thresholds[80][0]`)
+            keep_thr = all_ranks < unk_prop_thr
+            all_props, all_ranks = all_props[keep_thr], all_ranks[keep_thr]
         k = hyp.rank.MAX_NUM_UNK_BOXES_PER_IMAGE
         all_props, all_ranks = all_props[:k], all_ranks[:k]
     return all_props, all_ranks
@@ -354,6 +360,7 @@ def unknown_proposals_for_image(
     pred_boxes_xyxy: np.ndarray,  # (n, 4) predictions in image pixels
     rank_score_fn: Optional[Callable] = None,
     hyp: Optional[UnkEnhancementParams] = None,
+    unk_prop_thr: Optional[float] = None,
 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """Full EUL pass for one image -> (proposals xyxy in image pixels,
     decisions (all 0 = unknown), rank scores or None).
@@ -382,6 +389,7 @@ def unknown_proposals_for_image(
         pred_boxes_xyxy / stride,
         rank_score_fn=rank_score_fn,
         hyp=hyp,
+        unk_prop_thr=unk_prop_thr,
     )
     props_img = props * stride
     decisions = np.zeros(len(props_img), int)  # all proposals are unknown (ref :926-932)

@@ -124,3 +124,20 @@ def test_unknown_proposals_for_image_full_pass(rng):
     areas = (props[:, 2] - props[:, 0]) * (props[:, 3] - props[:, 1])
     best = props[np.argmin(np.abs(areas - 32 * 32))]
     assert best[0] <= 6 * 8 + 8 and best[2] >= 10 * 8 - 8
+
+
+def test_unk_proposal_threshold_gating():
+    hyp = UnkEnhancementParams()
+    hyp.RANK_BOXES = True
+    hyp.rank.NMS = 0.0
+    hyp.rank.USE_UNK_PROPOSALS_THR = True
+    hyp.rank.MAX_NUM_UNK_BOXES_PER_IMAGE = 10
+    boxes_per_thr = [np.array([[0, 0, 10, 10], [20, 20, 30, 30],
+                               [40, 40, 50, 50]], np.float32)]
+    props, ranks = postprocess_unk_proposals(
+        boxes_per_thr, (0, 0), (64, 64), np.empty((0, 4)),
+        rank_score_fn=lambda p: np.array([0.1, 0.9, 0.5], np.float32),
+        hyp=hyp, unk_prop_thr=0.6)
+    # ranks sorted ascending, gated at < 0.6 -> keeps 0.1 and 0.5
+    np.testing.assert_allclose(ranks, [0.1, 0.5], rtol=1e-6)
+    assert len(props) == 2
