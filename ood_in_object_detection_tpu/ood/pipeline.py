@@ -326,7 +326,8 @@ def evaluate_method(
         confs = _np(out.det.conf)
         cls = _np(out.det.cls)
         valid = _np(out.det.valid)
-        p3 = _np(out.p3)
+        # P3 is ~100 MB/batch; only pull it to host when EUL needs it
+        p3 = _np(out.p3) if enhanced_unk_localization else None
         bmask = batch.get("batch_mask", np.ones(len(boxes), bool))
         for i in range(len(boxes)):
             if not bmask[i]:
