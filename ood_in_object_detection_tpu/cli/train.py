@@ -78,6 +78,15 @@ def main(argv=None) -> None:
     cfg = TrainConfig(lr0=args.lr0, epochs=args.epochs, steps_per_epoch=steps_per_epoch,
                       freeze_prefixes=freeze)
 
+    # validation split (reference validates every val_every epochs,
+    # engine/trainer.py:441-445)
+    try:
+        val_ds = DetectionDataset.from_yaml(args.dataset, split="val",
+                                            owod_task=args.owod_task or None,
+                                            tasks_dir=args.owod_tasks_dir or None)
+    except Exception:
+        val_ds = None
+
     mesh = make_mesh(model=1)
     rng = jax.random.PRNGKey(0)
     sample = jnp.zeros((args.batch_size, args.img_size, args.img_size, 3), jnp.float32)
@@ -95,11 +104,49 @@ def main(argv=None) -> None:
             total = float(jnp.mean(jnp.stack([l.total for l in losses])))
             log.info("epoch %d: loss=%.4f (%.1fs)", epoch, total, time.perf_counter() - t0)
             if (epoch + 1) % max(args.val_every, 1) == 0 or epoch == args.epochs - 1:
+                if val_ds is not None and len(val_ds):
+                    metrics = validate(model, state, val_ds, args, nc)
+                    log.info("epoch %d val: mAP50=%.4f mAP50-95=%.4f", epoch,
+                             metrics["mAP50"], metrics["mAP50_95"])
                 save_checkpoint(
                     Path(args.out_dir) / args.name, state,
                     train_args={"name": args.name, "nc": nc, **vars(args)},
                     model_name=name, epoch=epoch)
     log.info("done")
+
+
+def validate(model, state, val_ds, args, nc):
+    """Standard detection validation with EMA weights (reference validator +
+    DetMetrics, eval/det_metrics.py)."""
+    from ..data import PaddedBatcher
+    from ..engine import Detector
+    from ..eval.det_metrics import compute_det_metrics
+
+    variables = {"params": state.ema_params, "batch_stats": state.batch_stats}
+    det = Detector(model=model, variables=variables, img_size=args.img_size)
+    step = det.predict_fn(conf_thres=0.001)
+    preds, targets = [], []
+    for batch in PaddedBatcher(val_ds, args.batch_size, args.img_size,
+                               max_gt=args.max_gt):
+        out = step(variables, batch["images"])
+        import numpy as np
+
+        boxes = np.asarray(out.det.boxes)
+        conf = np.asarray(out.det.conf)
+        cls = np.asarray(out.det.cls)
+        valid = np.asarray(out.det.valid)
+        bmask = batch.get("batch_mask", np.ones(len(boxes), bool))
+        for i in range(len(boxes)):
+            if not bmask[i]:
+                continue
+            n = int(valid[i].sum())
+            preds.append(dict(img_name=batch["im_names"][i], bboxes=boxes[i, :n],
+                              cls=cls[i, :n], conf=conf[i, :n]))
+            m = batch["gt_mask"][i]
+            targets.append(dict(img_name=batch["im_names"][i],
+                                bboxes=batch["gt_bboxes"][i][m],
+                                cls=batch["gt_labels"][i][m]))
+    return compute_det_metrics(preds, targets, nc)
 
 
 if __name__ == "__main__":
