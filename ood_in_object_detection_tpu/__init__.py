@@ -20,3 +20,20 @@ open-world object-detection evaluation protocol), designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level API (avoids importing jax at package import time)
+    if name == "Detector":
+        from .engine import Detector
+
+        return Detector
+    if name == "build_model":
+        from .models import build_model
+
+        return build_model
+    if name == "build_ood_method":
+        from .cli.factory import build_ood_method
+
+        return build_ood_method
+    raise AttributeError(name)
