@@ -122,7 +122,14 @@ def _nms_single(
 
     offset = jnp.where(class_agnostic, 0.0, top_cls.astype(jnp.float32) * MAX_WH)
     shifted = top_boxes + offset[:, None]
-    keep = _greedy_keep_tiled(shifted, top_valid, iou_thres)
+    if jax.default_backend() == "tpu" and 512 < k <= 1024:
+        # in-VMEM Pallas fixpoint (ops/pallas/nms.py): same greedy semantics,
+        # no HBM round trips for the IoU tiles
+        from .pallas.nms import greedy_keep_pallas
+
+        keep = greedy_keep_pallas(shifted, top_valid, iou_thres)
+    else:
+        keep = _greedy_keep_tiled(shifted, top_valid, iou_thres)
 
     final_conf = jnp.where(keep, top_conf, -1.0)
     md = min(max_det, k)

@@ -41,3 +41,22 @@ def test_kernel_matches_reference(rng, bank, metric, monkeypatch):
     assert np.isinf(got[:, 3]).all() and np.isinf(got[:, 5]).all()
     mask = np.isfinite(ref)
     np.testing.assert_allclose(got[mask], ref[mask], rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_nms_keep_matches_tiled(rng, monkeypatch):
+    from ood_in_object_detection_tpu.ops.pallas import nms as pnms
+    from ood_in_object_detection_tpu.ops.nms import _greedy_keep_tiled
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(pnms.pl, "pallas_call",
+                        lambda *a, **k: orig_call(*a, **{**k, "interpret": True}))
+    k = 96
+    centers = rng.uniform(20, 200, (k, 2))
+    wh = rng.uniform(10, 60, (k, 2))
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], 1).astype(np.float32)
+    order = np.argsort(-rng.uniform(0, 1, k))
+    boxes = boxes[order]
+    valid = jnp.asarray(rng.uniform(0, 1, k) > 0.1)
+    got = np.asarray(pnms.greedy_keep_pallas(jnp.asarray(boxes), valid, 0.45))
+    ref = np.asarray(_greedy_keep_tiled(jnp.asarray(boxes), valid, 0.45))
+    np.testing.assert_array_equal(got, ref)
