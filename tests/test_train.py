@@ -99,3 +99,36 @@ def test_detection_loss_has_gradient_and_fg():
     assert np.isfinite(total)
     assert float(lb.box) > 0 and float(lb.cls) > 0 and float(lb.dfl) > 0
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_training_overfits_tiny_batch():
+    """End-to-end learning check: loss must drop substantially when
+    overfitting one fixed batch (validates TAL + losses + optimizer + EMA
+    together, not just gradient existence)."""
+    from ood_in_object_detection_tpu.models import build_model
+    from ood_in_object_detection_tpu.train import TrainConfig, init_state, train_step
+
+    model = build_model("yolov8n", nc=2)
+    cfg = TrainConfig(lr0=0.01, epochs=100, steps_per_epoch=1, warmup_epochs=0.1)
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(rng, (2, 96, 96, 3))
+    batch = {
+        "images": imgs,
+        "gt_labels": jnp.asarray([[0, 1], [1, 0]], jnp.int32),
+        "gt_bboxes": jnp.asarray([[[10, 10, 50, 50], [60, 20, 90, 80]],
+                                  [[20, 30, 70, 90], [5, 5, 40, 40]]], jnp.float32),
+        "gt_mask": jnp.ones((2, 2), bool),
+    }
+    state = init_state(model, cfg, rng, imgs)
+    step = jax.jit(lambda s, b: train_step(model, cfg, s, b))
+    first = None
+    for i in range(25):
+        state, lb = step(state, batch)
+        if first is None:
+            first = float(lb.total)
+    last = float(lb.total)
+    assert last < first * 0.6, f"loss did not drop: {first} -> {last}"
+    # EMA tracked the params
+    d = jax.tree.map(lambda e, p: float(jnp.abs(e - p).max()),
+                     state.ema_params, state.params)
+    assert max(jax.tree.leaves(d)) > 0
