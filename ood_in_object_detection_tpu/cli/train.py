@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_augment", action="store_true",
                    help="disable mosaic/HSV/flip (letterbox-only batches)")
     p.add_argument("--close_mosaic", type=int, default=10)
+    p.add_argument("--val_only", action="store_true",
+                   help="load --model_path and validate, no training"
+                        " (reference custom_training.py val-only mode)")
+    p.add_argument("--model_path", default="", help="checkpoint dir for --val_only")
     return p
 
 
@@ -86,6 +90,23 @@ def main(argv=None) -> None:
                                             tasks_dir=args.owod_tasks_dir or None)
     except Exception:
         val_ds = None
+
+    if args.val_only:
+        from ..core.checkpoint import load_checkpoint
+
+        assert args.model_path, "--val_only requires --model_path"
+        assert val_ds is not None and len(val_ds), "no validation split found"
+        variables, meta = load_checkpoint(args.model_path)
+        import types
+
+        state = types.SimpleNamespace(ema_params=variables["params"],
+                                      batch_stats=variables["batch_stats"])
+        model = build_model(meta["model_name"],
+                            nc=meta.get("train_args", {}).get("nc", nc))
+        metrics = validate(model, state, val_ds, args, model.nc)
+        log.info("val-only: mAP50=%.4f mAP50-95=%.4f",
+                 metrics["mAP50"], metrics["mAP50_95"])
+        return
 
     mesh = make_mesh(model=1)
     rng = jax.random.PRNGKey(0)
