@@ -132,6 +132,8 @@ def extract_ind_activations(
                     tgt_roi = _target_roi_feats(out, tgt_b, img_w, image_index=i)
                     for t in range(len(tgt_b)):
                         c = int(tgt_c[t])
+                        if not 0 <= c < nc:
+                            continue  # unknown-class GT on an unfiltered set
                         if opt == "all_targets_all_strides":
                             for s in range(3):
                                 acc[id(m)][c][s].append(tgt_roi[s][t])

@@ -77,3 +77,25 @@ def test_extract_fit_evaluate_fusion_distance(tiny_dataset, detector):
         class_names=["c0", "c1", "unknown"], conf_thr_test=1e-9,
     )
     assert isinstance(res, dict)
+
+
+def test_exact_pos_and_target_extraction_options(tiny_dataset, detector):
+    batches = list(PaddedBatcher(tiny_dataset, batch_size=4, img_size=96, max_gt=8))
+    m1 = DistanceOODMethod.from_name("L2_cl_stride")
+    m1.which_internal_activations = "ftmaps_and_strides_exact_pos"
+    m2 = DistanceOODMethod.from_name("L1_cl_stride")
+    m2.ind_info_creation_option = "all_targets_one_stride"
+    m3 = DistanceOODMethod.from_name("Cosine_cl_stride")
+    m3.ind_info_creation_option = "all_targets_all_strides"
+    holder = FusionOODMethod([m1, m2, m3], strategy="vote")
+    from ood_in_object_detection_tpu.ood.pipeline import extract_ind_activations
+
+    acts = extract_ind_activations(detector, batches, holder, conf_thr_train=1e-9)
+    # target-based options always extract (GT exists even without matches)
+    total_m2 = sum(len(a) for row in acts[id(m2)] for a in row if hasattr(a, "__len__"))
+    total_m3 = sum(len(a) for row in acts[id(m3)] for a in row if hasattr(a, "__len__"))
+    assert total_m3 >= total_m2 > 0
+    fit_ind_pipeline(holder, acts, tpr=0.95)
+    res = evaluate_method(detector, batches, holder, known_classes=[0, 1],
+                          class_names=["c0", "c1", "unknown"], conf_thr_test=1e-9)
+    assert isinstance(res, dict)
