@@ -53,3 +53,19 @@ def test_owod_tools_roundtrip(tmp_path):
     lines = (tmp_path / "train.txt").read_text().split()
     assert lines[0].startswith("./imgs/")
     assert write_task_stems_txt(["b", "a", "a"], str(tmp_path / "t1.txt")) == 2
+
+
+def test_profiler_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    from ood_in_object_detection_tpu.utils.profiling import flops_estimate, time_fn, trace
+
+    with trace(str(tmp_path)):
+        _ = (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    assert any(tmp_path.rglob("*"))  # trace artifacts written
+
+    t = time_fn(lambda x: x @ x, jnp.ones((32, 32)), iters=2, warmup=1)
+    assert t["latency_s"] > 0 and t["pipelined_s"] > 0
+
+    f = flops_estimate(lambda x: x @ x, jnp.ones((16, 16)))
+    assert f >= 2 * 16 ** 3 * 0.5  # within 2x of the analytic count
