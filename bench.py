@@ -83,5 +83,14 @@ def main():
     }))
 
 
+def _main_with_fallback():
+    global BATCH, LOOP_ITERS
+    try:
+        main()
+    except Exception:  # smaller chip: fall back to a modest batch
+        BATCH, LOOP_ITERS = 32, 16
+        main()
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_fallback()
