@@ -50,7 +50,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--logdir", default="logs")
     p.add_argument("--ind_dataset", required=True, help="dataset yaml path")
     p.add_argument("--ood_datasets", nargs="+", required=True,
-                   help="dataset yaml paths or registry names")
+                   help="dataset yaml paths")
     p.add_argument("--ind_split", default="train", choices=["train", "val", "test"])
     p.add_argument("--ood_split", default="val", choices=["train", "val", "test"])
     p.add_argument("--owod_task_ind", default="", choices=["", "t1", "t2", "t3", "t4", "all_task_test"])
