@@ -84,15 +84,20 @@ def make_optimizer(cfg: TrainConfig):
         optax.sgd(learning_rate=lr_schedule(cfg), momentum=cfg.momentum, nesterov=True),
     )
     if cfg.freeze_prefixes:
-        def trainable_mask(params):
+        # Frozen leaves must get a ZERO update, not a pass-through:
+        # optax.masked leaves unmasked leaves equal to their raw gradient,
+        # which apply_updates would then ADD (unscaled gradient ascent).
+        def label_fn(params):
             def per_path(path, _):
                 top = str(getattr(path[0], "key", path[0])) if path else ""
-                return not any(top.startswith(p) for p in cfg.freeze_prefixes)
-            import jax as _jax
+                frozen = any(top.startswith(p) for p in cfg.freeze_prefixes)
+                return "frozen" if frozen else "train"
 
-            return _jax.tree_util.tree_map_with_path(per_path, params)
+            return jax.tree_util.tree_map_with_path(per_path, params)
 
-        tx = optax.chain(optax.masked(tx, trainable_mask),)
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label_fn
+        )
     return tx
 
 
