@@ -44,6 +44,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="load --model_path and validate, no training"
                         " (reference custom_training.py val-only mode)")
     p.add_argument("--model_path", default="", help="checkpoint dir for --val_only")
+    p.add_argument("--resume", default="",
+                   help="checkpoint dir to resume mid-training from: restores "
+                        "params/EMA/optimizer/step and continues at the saved "
+                        "epoch + 1 (reference engine/trainer.py resume)")
+    p.add_argument("--mixup", type=float, default=0.0)
+    p.add_argument("--copy_paste", type=float, default=0.0)
+    p.add_argument("--degrees", type=float, default=0.0)
+    p.add_argument("--shear", type=float, default=0.0)
+    p.add_argument("--perspective", type=float, default=0.0)
+    p.add_argument("--pretrained_backbone", default="",
+                   help="classification-model .pt whose backbone (layers 0-6) "
+                        "is grafted before training "
+                        "(reference custom_training.py:129-133)")
     return p
 
 
@@ -72,7 +85,10 @@ def main(argv=None) -> None:
 
         batcher = AugmentedTrainBatcher(
             ds, args.batch_size, args.img_size, max_gt=args.max_gt,
-            cfg=AugmentConfig(close_mosaic=args.close_mosaic), epochs=args.epochs)
+            cfg=AugmentConfig(close_mosaic=args.close_mosaic, mixup=args.mixup,
+                              copy_paste=args.copy_paste, degrees=args.degrees,
+                              shear=args.shear, perspective=args.perspective),
+            epochs=args.epochs)
     steps_per_epoch = max(len(batcher), 1)
     freeze = ()
     if args.freeze_backbone:
@@ -111,11 +127,33 @@ def main(argv=None) -> None:
     mesh = make_mesh(model=1)
     rng = jax.random.PRNGKey(0)
     sample = jnp.zeros((args.batch_size, args.img_size, args.img_size, 3), jnp.float32)
+    start_epoch = 0
     with mesh:
-        state = init_state(model, cfg, rng, sample)
+        if args.resume:
+            from ..core.checkpoint import restore_train_state
+
+            state, meta = restore_train_state(args.resume, model, cfg, sample)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            log.info("resumed %s at epoch %d (step %d)", args.resume,
+                     start_epoch, int(state.step))
+        else:
+            state = init_state(model, cfg, rng, sample)
+            if args.pretrained_backbone:
+                from ..utils.weight_import import graft_classification_backbone
+
+                new_vars, grafted = graft_classification_backbone(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    args.pretrained_backbone, model.spec)
+                state = state.replace(params=new_vars["params"],
+                                      batch_stats=new_vars["batch_stats"],
+                                      ema_params=new_vars["params"])
+                log.info("grafted %d backbone tensors from %s", grafted,
+                         args.pretrained_backbone)
+        if hasattr(batcher, "epoch"):
+            batcher.epoch = start_epoch  # keep close_mosaic aligned on resume
         state = shard_state(state, mesh)
         step = make_sharded_train_step(model, cfg, mesh)
-        for epoch in range(args.epochs):
+        for epoch in range(start_epoch, args.epochs):
             t0 = time.perf_counter()
             losses = []
             for batch in batcher:

@@ -23,6 +23,9 @@ def _to_numpy_tree(tree):
 
 def save_checkpoint(path: str, state, train_args: Dict[str, Any],
                     model_name: str, epoch: int = 0) -> None:
+    """Save inference weights + (when present) the full optimizer state so
+    training can resume mid-run (reference trainer.py save_model stores
+    model+EMA+optimizer+epoch in one .pt)."""
     import orbax.checkpoint as ocp
 
     p = Path(path).resolve()
@@ -33,6 +36,9 @@ def save_checkpoint(path: str, state, train_args: Dict[str, Any],
         "batch_stats": _to_numpy_tree(state.batch_stats),
         "ema_params": _to_numpy_tree(state.ema_params),
     }
+    if getattr(state, "opt_state", None) is not None:
+        payload["opt_state"] = _to_numpy_tree(state.opt_state)
+        payload["step"] = np.asarray(state.step)
     ckptr.save(p / "state", payload, force=True)
     ckptr.wait_until_finished()
     (p / "meta.json").write_text(json.dumps({
@@ -53,6 +59,40 @@ def load_checkpoint(path: str, use_ema: bool = True):
     params = payload["ema_params" if use_ema else "params"]
     variables = {"params": params, "batch_stats": payload["batch_stats"]}
     return variables, meta
+
+
+def restore_train_state(path: str, model, cfg, sample_images):
+    """Restore a FULL TrainState (params + batch_stats + EMA + optimizer
+    momentum + step) for mid-training resume (reference engine/trainer.py
+    resume_training: model, EMA, optimizer, start_epoch).
+
+    -> (TrainState, meta dict); resume from epoch meta['epoch'] + 1.
+    """
+    import jax as _jax
+    import orbax.checkpoint as ocp
+
+    from ..train.trainer import TrainState, init_state
+
+    p = Path(path).resolve()
+    meta = json.loads((p / "meta.json").read_text())
+    target = init_state(model, cfg, _jax.random.PRNGKey(0), sample_images)
+    abstract = {
+        "params": target.params,
+        "batch_stats": target.batch_stats,
+        "ema_params": target.ema_params,
+        "opt_state": target.opt_state,
+        "step": target.step,
+    }
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(p / "state", abstract)
+    state = TrainState(
+        params=payload["params"],
+        batch_stats=payload["batch_stats"],
+        opt_state=payload["opt_state"],
+        ema_params=payload["ema_params"],
+        step=payload["step"],
+    )
+    return state, meta
 
 
 def checkpoint_name(path: str) -> str:

@@ -65,7 +65,14 @@ def compute_det_metrics(
             for t in iou_thrs:
                 tps[t].append(_match_one_level(pb, pc, gb, iou, t))
         confs = np.concatenate(confs) if confs else np.empty(0)
-        if confs.size == 0 or npos == 0:
+        if npos == 0:
+            # class absent from the eval set: excluded from the mean like the
+            # reference, which averages only over ap_class_index (classes with
+            # GT present — utils/metrics.py DetMetrics); kept as NaN per-class
+            for t in iou_thrs:
+                ap_per_class[t].append(np.nan)
+            continue
+        if confs.size == 0:
             for t in iou_thrs:
                 ap_per_class[t].append(0.0)
             continue
@@ -77,7 +84,11 @@ def compute_det_metrics(
             prec = np.cumsum(tp) / np.maximum(np.cumsum(tp) + np.cumsum(fp), 1e-12)
             ap_per_class[t].append(voc_ap(rec, prec))
 
-    ap50 = float(np.mean(ap_per_class[iou_thrs[0]]))
-    ap_all = float(np.mean([np.mean(ap_per_class[t]) for t in iou_thrs]))
+    def _nanmean(vals):
+        vals = np.asarray(vals, float)
+        return float(np.nanmean(vals)) if np.isfinite(vals).any() else 0.0
+
+    ap50 = _nanmean(ap_per_class[iou_thrs[0]])
+    ap_all = _nanmean([_nanmean(ap_per_class[t]) for t in iou_thrs])
     return {"mAP50": ap50, "mAP50_95": ap_all,
             "per_class_ap50": ap_per_class[iou_thrs[0]]}

@@ -79,20 +79,29 @@ def ood_score_metrics(ind_scores: Sequence[float], ood_scores: Sequence[float],
 
 
 def collect_box_scores(detector, batches, method, conf_thr: float = 0.15):
-    """Per-box OoD scores over a dataset (higher = more InD): logits methods
-    return their score directly; distance methods return the negated min
-    centroid distance."""
-    import jax.numpy as jnp
-
-    from ..ood.methods import DistanceOODMethod, LogitsOODMethod
+    """Per-box raw OoD scores over a dataset (higher = more InD): logits
+    methods return their score directly; distance methods the negated min
+    centroid distance. Threshold-free — works before fit_ind_pipeline
+    (distance methods still need fitted clusters). Fusion methods have no raw
+    score; their fitted INDness is used instead."""
+    from ..ood.methods import FusionOODMethod
     from ..ood.pipeline import _decisions_for_method, _np
 
     neck_ch = detector.neck_channels()
     step = detector.predict_fn(conf_thres=conf_thr)
+    is_fusion = isinstance(method, FusionOODMethod)
+    if is_fusion:
+        assert all(getattr(m, "thresholds", None) is not None
+                   for m in method.methods), \
+            "fusion INDness needs fitted thresholds (run fit_ind_pipeline)"
     out_scores = []
     for batch in batches:
         out = step(detector.variables, batch["images"])
-        ind = _np(_decisions_for_method(method, out, neck_ch, want_scores=True))
+        if is_fusion:
+            ind = _np(_decisions_for_method(method, out, neck_ch,
+                                            want_scores=True))
+        else:
+            ind = _np(_decisions_for_method(method, out, neck_ch, raw=True))
         valid = _np(out.det.valid)
         bmask = batch.get("batch_mask", np.ones(len(valid), bool))
         for i in range(len(valid)):

@@ -540,26 +540,26 @@ class AAttn(nn.Module):
         b, h, w, c = x.shape
         n = h * w
         head_dim = self.dim // self.num_heads
-        qk = Conv(self.dim * 2, 1, act=False, dtype=self.dtype, name="qk")(x, train)
-        v = Conv(self.dim, 1, act=False, dtype=self.dtype, name="v")(x, train)
-        qk = qk.reshape(b, n, self.dim * 2)
-        vv = v.reshape(b, n, self.dim)
+        # one fused qkv conv with the reference's per-head [q|k|v] channel
+        # layout (block.py:1695,1712-1720), so torch weights import verbatim
+        qkv = Conv(self.dim * 3, 1, act=False, dtype=self.dtype, name="qkv")(x, train)
+        qkv = qkv.reshape(b, n, self.num_heads, 3, head_dim)
         if self.area > 1:
-            qk = qk.reshape(b * self.area, n // self.area, self.dim * 2)
-            vv = vv.reshape(b * self.area, n // self.area, self.dim)
-        bb, nn_, _ = qk.shape
-        q, k = jnp.split(qk, 2, axis=-1)
-        q = q.reshape(bb, nn_, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(bb, nn_, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-        vh = vv.reshape(bb, nn_, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            qkv = qkv.reshape(b * self.area, n // self.area, self.num_heads, 3, head_dim)
+        bb, nn_ = qkv.shape[0], qkv.shape[1]
+        q = qkv[:, :, :, 0].transpose(0, 2, 1, 3)   # (bb, heads, n, hd)
+        k = qkv[:, :, :, 1].transpose(0, 2, 1, 3)
+        vh = qkv[:, :, :, 2].transpose(0, 2, 1, 3)
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
         attn = jax.nn.softmax(attn * (head_dim**-0.5), axis=-1).astype(vh.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh)
         out = out.transpose(0, 2, 1, 3).reshape(bb, nn_, self.dim)
+        vmap = vh.transpose(0, 2, 1, 3).reshape(bb, nn_, self.dim)
         if self.area > 1:
             out = out.reshape(b, n, self.dim)
+            vmap = vmap.reshape(b, n, self.dim)
         out = out.reshape(b, h, w, self.dim)
-        vmap = v  # NHWC already
+        vmap = vmap.reshape(b, h, w, self.dim)
         out = out + Conv(self.dim, 7, 1, g=self.dim, act=False, dtype=self.dtype, name="pe")(vmap, train)
         return Conv(self.dim, 1, act=False, dtype=self.dtype, name="proj")(out, train)
 

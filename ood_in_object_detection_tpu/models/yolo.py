@@ -571,6 +571,11 @@ def build_model(name: str, nc: int = 80, dtype: Any = jnp.float32) -> YOLODetect
                 max_channels=max_ch,
                 head_style=head_style,
                 attn_residual=(family == "yolo12" and size in ("l", "x")),
+                # v10 is an end2end architecture: the one2one branch is the
+                # inference path and one2many trains alongside (reference
+                # head.py:88-107 forward_end2end); both heads always exist in
+                # the reference checkpoint, so build them by default.
+                v10_dual=(HEAD_STYLE[family] == "v10"),
                 dtype=dtype,
             )
     raise ValueError(f"unknown model name {name}")

@@ -132,6 +132,11 @@ class LogitsOODMethod:
         s = self._score(logits, cls)
         return jnp.where(valid, (s >= thr).astype(jnp.int32), 0)
 
+    def raw_scores(self, logits: jnp.ndarray, cls: jnp.ndarray) -> jnp.ndarray:
+        """Threshold-free raw score per box (higher = more InD); usable
+        before fitting (reference compute_scores, ood_utils.py:1394-1443)."""
+        return self._score(logits, cls)
+
     def indness(self, logits: jnp.ndarray, cls: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         """Piecewise-linear INDness in [-1, 1] (ood_utils.py:1224-1283)."""
         thr = self.packed_thresholds()[cls]

@@ -212,11 +212,23 @@ def fit_ind_pipeline(method, activations: Dict[int, object], tpr: float = 0.95,
             m.generate_unk_prop_thr(acts, tpr, CUSTOM_HYP.unk.rank.RANK_BOXES_OPERATION)
 
 
-def _decisions_for_method(method, out: PredictOutput, neck_ch, want_scores: bool):
-    """(B, max_det) decision (or INDness) array for one (possibly fused)
-    method, all from a single PredictOutput."""
+def _decisions_for_method(method, out: PredictOutput, neck_ch,
+                          want_scores: bool = False, raw: bool = False):
+    """(B, max_det) per-box array for one (possibly fused) method from a
+    single PredictOutput.
+
+    - default: boolean OoD decision (needs fitted thresholds)
+    - want_scores: threshold-relative INDness in [-1, 1] (needs thresholds
+      AND min/max score state; reference compute_indness ood_utils.py:1224)
+    - raw: threshold-free raw score, higher = more InD (logits methods: their
+      score; distance methods: negated min centroid distance) — usable before
+      fit_ind_pipeline, e.g. for AUROC collection.
+    """
     det = out.det
     if isinstance(method, FusionOODMethod):
+        if raw:
+            raise ValueError("raw scores are per-member; fuse INDness instead "
+                             "(fit the pipeline and use want_scores=True)")
         want_member_scores = method.strategy == "score"
         member = [
             _decisions_for_method(m, out, neck_ch, want_member_scores)
@@ -224,6 +236,8 @@ def _decisions_for_method(method, out: PredictOutput, neck_ch, want_scores: bool
         ]
         return method.fuse(member)
     if isinstance(method, LogitsOODMethod):
+        if raw:
+            return method.raw_scores(out.logits, det.cls)
         fn = method.indness if want_scores else method.decide
         return fn(out.logits, det.cls, det.valid)
     assert isinstance(method, DistanceOODMethod)
@@ -257,6 +271,8 @@ def _decisions_for_method(method, out: PredictOutput, neck_ch, want_scores: bool
         flat = jnp.stack(zs, 0)[level_flat, jnp.arange(flat.shape[0])]
     dist = method.distances(flat, det.cls.reshape(-1), level_flat)
     dist = dist.reshape(det.cls.shape)
+    if raw:
+        return -dist  # higher = more InD
     fn = (method.indness_from_distances if want_scores else method.decide_from_distances)
     return fn(dist, det.cls, out.stride_level, det.valid)
 

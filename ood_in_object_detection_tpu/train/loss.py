@@ -8,14 +8,14 @@ Loss on assigned anchors, gains box=7.5 / cls=0.5 / dfl=1.5
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..models.head import REG_MAX, make_anchors
-from .tal import assign
+from .tal import assign, ciou  # noqa: F401 — ciou re-exported (lives in tal
+                               # so the assigner's CIoU metric shares one impl)
 
 
 class LossBreakdown(NamedTuple):
@@ -23,28 +23,6 @@ class LossBreakdown(NamedTuple):
     box: jnp.ndarray
     cls: jnp.ndarray
     dfl: jnp.ndarray
-
-
-def ciou(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
-    """Complete IoU between matched box pairs (..., 4) xyxy
-    (reference utils/metrics.py bbox_iou CIoU=True)."""
-    ax1, ay1, ax2, ay2 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
-    bx1, by1, bx2, by2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
-    aw, ah = ax2 - ax1, ay2 - ay1
-    bw, bh = bx2 - bx1, by2 - by1
-    inter = jnp.clip(jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1), 0) * jnp.clip(
-        jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1), 0
-    )
-    union = aw * ah + bw * bh - inter + eps
-    iou = inter / union
-    cw = jnp.maximum(ax2, bx2) - jnp.minimum(ax1, bx1)
-    ch = jnp.maximum(ay2, by2) - jnp.minimum(ay1, by1)
-    c2 = cw**2 + ch**2 + eps
-    rho2 = ((bx1 + bx2 - ax1 - ax2) ** 2 + (by1 + by2 - ay1 - ay2) ** 2) / 4
-    v = (4 / math.pi**2) * (jnp.arctan(bw / (bh + eps)) - jnp.arctan(aw / (ah + eps))) ** 2
-    alpha = v / (v - iou + (1 + eps))
-    alpha = jax.lax.stop_gradient(alpha)
-    return iou - (rho2 / c2 + v * alpha)
 
 
 def df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:

@@ -1,7 +1,8 @@
 """Task-Aligned Assigner in pure JAX (fixed shapes, padded GT).
 
 Semantics parity with the reference TaskAlignedAssigner
-(ultralytics/utils/tal.py:14-230): align metric = score^alpha * IoU^beta,
+(ultralytics/utils/tal.py:14-230): align metric = score^alpha * CIoU^beta
+(CIoU clamped at 0, tal.py iou_calculation),
 candidates restricted to anchors inside the GT box, top-k (10) candidates per
 GT, multi-GT conflicts resolved by highest IoU, target scores normalized by
 (max IoU / max metric) per GT.
@@ -13,10 +14,33 @@ batched computation under jit.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+
+def ciou(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Complete IoU between box pairs (..., 4) xyxy, broadcasting
+    (reference utils/metrics.py bbox_iou CIoU=True; a=box1, b=box2)."""
+    ax1, ay1, ax2, ay2 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bx1, by1, bx2, by2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    aw, ah = ax2 - ax1, ay2 - ay1
+    bw, bh = bx2 - bx1, by2 - by1
+    inter = jnp.clip(jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1), 0) * jnp.clip(
+        jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1), 0
+    )
+    union = aw * ah + bw * bh - inter + eps
+    iou = inter / union
+    cw = jnp.maximum(ax2, bx2) - jnp.minimum(ax1, bx1)
+    ch = jnp.maximum(ay2, by2) - jnp.minimum(ay1, by1)
+    c2 = cw**2 + ch**2 + eps
+    rho2 = ((bx1 + bx2 - ax1 - ax2) ** 2 + (by1 + by2 - ay1 - ay2) ** 2) / 4
+    v = (4 / math.pi**2) * (jnp.arctan(bw / (bh + eps)) - jnp.arctan(aw / (ah + eps))) ** 2
+    alpha = v / (v - iou + (1 + eps))
+    alpha = jax.lax.stop_gradient(alpha)
+    return iou - (rho2 / c2 + v * alpha)
 
 
 class AssignResult(NamedTuple):
@@ -64,16 +88,20 @@ def assign(
     scores_for_gt = jnp.take_along_axis(
         pd_scores.transpose(0, 2, 1), gt_lab[:, :, None], axis=1
     )                                                                   # (B, M, A)
-    ious = iou_xyxy(gt_bboxes, pd_bboxes)                               # (B, M, A)
-    ious = jnp.clip(ious, 0.0)
+    # overlap metric is CIoU clamped at 0, not plain IoU (reference
+    # tal.py iou_calculation: bbox_iou(..., CIoU=True).clamp_(0)); it feeds
+    # both the align metric and the pos_iou_max soft-target normalization
+    ious = jnp.clip(ciou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :]), 0.0)
     align = (scores_for_gt**alpha) * (ious**beta)                       # (B, M, A)
 
     valid = in_gts & gt_mask[:, :, None]
     align_masked = jnp.where(valid, align, 0.0)
 
-    # top-k per gt among candidates (tal.py select_topk_candidates)
+    # top-k per gt among candidates (tal.py select_topk_candidates: with the
+    # mask_gt topk_mask the reference applies NO value floor — zero-metric
+    # picks are later removed by the in_gts/valid intersection)
     topk_vals, topk_idx = jax.lax.top_k(align_masked, topk)             # (B, M, k)
-    topk_ok = topk_vals > eps
+    topk_ok = jnp.broadcast_to(gt_mask[:, :, None], topk_idx.shape)
     mask_topk = jnp.zeros((B, M, A), bool)
     mask_topk = jax.vmap(jax.vmap(
         lambda m, idx, ok: m.at[idx].set(ok, mode="drop")

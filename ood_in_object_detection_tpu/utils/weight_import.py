@@ -33,13 +33,14 @@ def _translate_segment(seg: str) -> str:
         return m.group(1)
     if seg == "detect":
         return None  # detect head index is appended by the caller
-    # head branches: cv2_{i}_{j}[a|b] -> cv2.{i}.{j}(.0/.1)
-    m = re.match(r"^(cv[23])_(\d)_(\d)([ab]?)$", seg)
+    # head branches: [one2one_]cv2_{i}_{j}[a|b] -> [one2one_]cv2.{i}.{j}(.0/.1)
+    # (v10 end2end one2one copies: reference head.py:66-67,868-885)
+    m = re.match(r"^(one2one_)?(cv[23])_(\d)_(\d)([ab]?)$", seg)
     if m:
-        base = f"{m.group(1)}.{m.group(2)}.{m.group(3)}"
-        if m.group(4) == "a":
+        base = f"{m.group(1) or ''}{m.group(2)}.{m.group(3)}.{m.group(4)}"
+        if m.group(5) == "a":
             return base + ".0"
-        if m.group(4) == "b":
+        if m.group(5) == "b":
             return base + ".1"
         return base
     # repeated blocks m{i} -> m.{i}; yolo12 m{i}_{j} -> m.{i}.{j}
@@ -60,9 +61,11 @@ def _translate_segment(seg: str) -> str:
     m = re.match(r"^(cv[23])_(csp|conv)$", seg)
     if m:
         return f"{m.group(1)}.{0 if m.group(2) == 'csp' else 1}"
-    # PSA / attention / ffn naming
+    # PSA / attention / ffn naming. The PSABlock wrapper named attn_blk inside
+    # our PSA adds no torch level: torch PSA holds attn/ffn directly
+    # (block.py PSA: self.attn = Attention, self.ffn = Sequential).
     table = {
-        "attn_blk": "attn", "ffn0": "ffn.0", "ffn1": "ffn.1",
+        "attn_blk": "", "ffn0": "ffn.0", "ffn1": "ffn.1",
         "mlp0": "mlp.0", "mlp1": "mlp.1",
     }
     return table.get(seg, seg)
@@ -84,7 +87,7 @@ def torch_name_for_path(path: Tuple[str, ...], detect_layer_idx: int) -> str:
         # ultralytics Conv wraps a .conv Conv2d; our head output layers
         # (Conv2dRaw, cv{2,3}_{i}_2) correspond to bare torch Conv2d with no
         # extra .conv level
-        if not (len(segs) >= 2 and re.match(r"^cv[23]_\d_2$", segs[-2])):
+        if not (len(segs) >= 2 and re.match(r"^(one2one_)?cv[23]_\d_2$", segs[-2])):
             out.append("conv")
         name = {"kernel": "weight", "bias": "bias"}[leaf]
     elif last == "bn":
@@ -164,6 +167,40 @@ def state_dict_from_torch_file(path: str) -> Dict[str, np.ndarray]:
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
-    model = obj.get("ema") or obj.get("model")
+    model = obj
+    if isinstance(obj, dict):
+        model = obj.get("ema") or obj.get("model") or obj  # plain sd fallback
     sd = model.state_dict() if hasattr(model, "state_dict") else model
     return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def graft_classification_backbone(variables, pt_path: str, spec,
+                                  max_layer: int = 6):
+    """Load an ImageNet-classification checkpoint's backbone (torch layers
+    0..max_layer) into a detector's variables, leaving everything else as-is
+    (reference custom_training.py:129-133: yolov8{size}-cls ``model[:7]``
+    state_dict loaded strict=False — the cls and detect yamls share the
+    backbone topology through layer 6).
+
+    -> (new variables, number of grafted tensors).
+    """
+    sd = state_dict_from_torch_file(pt_path)
+    pat = re.compile(r"^model\.(\d+)\.")
+    keep = {}
+    for k, v in sd.items():
+        m = pat.match(k)
+        if m and int(m.group(1)) <= max_layer:
+            keep[k] = v
+    if not keep:
+        raise ValueError(f"{pt_path} has no model.0..{max_layer} backbone keys")
+    import jax
+
+    n_leaves = len(jax.tree.leaves(variables["params"])) + \
+        len(jax.tree.leaves(variables.get("batch_stats", {})))
+    new_vars, missing = import_state_dict(
+        variables, keep, detect_layer_idx=len(spec) - 1, strict=False)
+    grafted = n_leaves - len(missing)
+    if grafted == 0:
+        raise ValueError(f"no tensors from {pt_path} matched the detector "
+                         f"backbone (shape/naming mismatch?)")
+    return new_vars, grafted

@@ -37,7 +37,15 @@ def test_duplicate_detection_is_fp():
     preds = [_p("a", [[0, 0, 10, 10], [0, 0, 10, 10]], [0, 0], [0.9, 0.8])]
     r = compute_det_metrics(preds, tgts, num_classes=1)
     assert r["mAP50"] == 1.0  # AP unaffected: TP found at rank 1
-    # but with reversed confidences the duplicate outranks... still AP 1 at
-    # rank2; check missed class contributes 0
+    # classes with no GT in the eval set are EXCLUDED from the mean (reference
+    # DetMetrics averages over ap_class_index only; per-class entry is NaN)
     r2 = compute_det_metrics(preds, tgts, num_classes=2)
-    assert abs(r2["mAP50"] - 0.5) < 1e-9
+    assert abs(r2["mAP50"] - 1.0) < 1e-9
+    assert np.isnan(r2["per_class_ap50"][1])
+
+
+def test_class_with_gt_but_no_preds_counts_zero():
+    tgts = [_t("a", [[0, 0, 10, 10], [30, 30, 60, 60]], [0, 1])]
+    preds = [_p("a", [[0, 0, 10, 10]], [0], [0.9])]
+    r = compute_det_metrics(preds, tgts, num_classes=2)
+    assert abs(r["mAP50"] - 0.5) < 1e-9  # class 1 present but missed -> AP 0

@@ -1,0 +1,195 @@
+"""Cross-framework numerical parity against the vendored torch reference.
+
+For each model family, a real torch DetectionModel (with randomized BN state)
+is built from the reference YAML, its state_dict flows through
+utils/weight_import.py, and the Flax forward must match the torch forward
+layer-for-layer at f32 precision: raw head maps, decoded boxes, pre-sigmoid
+logits, and the three version-specific neck taps (nn/tasks.py:179-194).
+
+This is the accuracy-parity contract from re-derived to verified: any layer,
+decode, tap-index, or weight-mapping mismatch fails here.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from _reference_bridge import (
+    build_reference_model, numpy_state_dict, reference_available,
+    reference_forward,
+)
+from ood_in_object_detection_tpu.models import build_model, model_forward
+from ood_in_object_detection_tpu.utils.weight_import import (
+    import_state_dict, torch_name_for_path,
+)
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="/root/reference not present"
+)
+
+# one representative (smallest) scale per family: scales share the layer
+# topology, differing only in depth/width multiples already covered by
+# test_all_models_build shape checks
+FAMILIES = ["yolov8n", "yolov9t", "yolov10n", "yolo11n", "yolo12n"]
+
+
+def _import_into_flax(name, tm, nc=80):
+    sd = numpy_state_dict(tm)
+    fm = build_model(name, nc=nc)
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = fm.init(jax.random.PRNGKey(0), imgs, train=False)
+    variables, missing = import_state_dict(
+        variables, sd, detect_layer_idx=len(tm.model) - 1, strict=False)
+    return fm, variables, sd, missing
+
+
+@pytest.mark.parametrize("name", FAMILIES)
+def test_forward_parity(name):
+    tm = build_reference_model(name)
+    fm, variables, sd, missing = _import_into_flax(name, tm)
+    assert not missing, f"{len(missing)} flax paths had no torch key: {missing[:5]}"
+
+    # every torch tensor must be consumed (no silently-random submodule)
+    used = set()
+    for coll in ("params", "batch_stats"):
+        for kp, _ in jax.tree_util.tree_flatten_with_path(
+                variables.get(coll, {}))[0]:
+            path = tuple(getattr(k, "key", str(k)) for k in kp)
+            used.add(torch_name_for_path(path, len(tm.model) - 1))
+    unused = [k for k in sd
+              if k not in used and "num_batches" not in k and ".dfl." not in k]
+    assert not unused, f"{len(unused)} torch keys unused: {unused[:5]}"
+
+    x = np.random.default_rng(0).uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    t_boxes, t_logits, t_raw, t_taps = reference_forward(tm, x)
+    out = model_forward(fm, variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+
+    for i in range(3):
+        ours = np.asarray(out["raw_levels"][i]).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, t_raw[i], atol=2e-4,
+                                   err_msg=f"raw head level {i}")
+    np.testing.assert_allclose(np.asarray(out["boxes_xywh"]), t_boxes,
+                               atol=5e-3, err_msg="decoded boxes")
+    np.testing.assert_allclose(np.asarray(out["cls_logits"]), t_logits,
+                               atol=2e-4, err_msg="pre-sigmoid logits")
+    for i in range(3):
+        ours = np.asarray(out["neck_feats"][i]).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, t_taps[i], atol=2e-4,
+                                   err_msg=f"neck tap {i}")
+
+
+def test_loss_and_tal_parity():
+    """Our detection_loss (TAL assignment + CIoU + DFL + BCE) must reproduce
+    the reference v8DetectionLoss (utils/loss.py:165-270, utils/tal.py) on
+    identical raw head maps and targets — component-wise to f32 tolerance."""
+    import torch
+    from types import SimpleNamespace
+
+    from ood_in_object_detection_tpu.train.loss import detection_loss
+
+    tm = build_reference_model("yolov8n", extraction=False)
+    tm.args = SimpleNamespace(box=7.5, cls=0.5, dfl=1.5)
+    from ultralytics.utils.loss import v8DetectionLoss
+
+    crit = v8DetectionLoss(tm)
+
+    B, nc, imgsz = 2, 80, 64
+    rng = np.random.default_rng(1)
+    # confident, structured raw maps: random logits plus a boosted class so
+    # the assigner finds real foreground on both sides
+    raw = []
+    for (h, w) in [(8, 8), (4, 4), (2, 2)]:
+        r = rng.normal(0, 1, (B, h, w, 64 + nc)).astype(np.float32)
+        r[:, : h // 2, : w // 2, 64 + 3] += 6.0
+        raw.append(r)
+
+    # two gt boxes per image, xyxy pixels
+    gt_b = np.asarray([[[4, 4, 30, 30], [34, 20, 60, 60]],
+                       [[10, 12, 50, 44], [2, 2, 20, 20]]], np.float32)
+    gt_l = np.asarray([[3, 7], [3, 0]], np.int64)
+    gt_m = np.ones((2, 2), bool)
+
+    lb = detection_loss([jnp.asarray(r) for r in raw],
+                        jnp.asarray(gt_l.astype(np.int32)),
+                        jnp.asarray(gt_b), jnp.asarray(gt_m), nc)
+
+    feats = [torch.from_numpy(r.transpose(0, 3, 1, 2)).contiguous() for r in raw]
+    # reference batch dict: flat rows of (batch_idx, cls, xywh normalized)
+    cxy = (gt_b[..., :2] + gt_b[..., 2:]) / 2 / imgsz
+    wh = (gt_b[..., 2:] - gt_b[..., :2]) / imgsz
+    batch = {
+        "batch_idx": torch.tensor([0, 0, 1, 1], dtype=torch.float32),
+        "cls": torch.from_numpy(gt_l.reshape(-1, 1).astype(np.float32)),
+        "bboxes": torch.from_numpy(
+            np.concatenate([cxy, wh], -1).reshape(-1, 4)),
+    }
+    total_t, items_t = crit(feats, batch)
+    # items = [box*7.5, cls*0.5, dfl*1.5] pre-batch-scaling; the trainer
+    # consumes total_t.sum() (loss.py:268 returns loss * batch_size)
+    np.testing.assert_allclose(float(lb.box) * 7.5, float(items_t[0]), rtol=1e-4)
+    np.testing.assert_allclose(float(lb.cls) * 0.5, float(items_t[1]), rtol=1e-4)
+    np.testing.assert_allclose(float(lb.dfl) * 1.5, float(items_t[2]), rtol=1e-4)
+    np.testing.assert_allclose(float(lb.total), float(total_t.sum()), rtol=1e-4)
+
+
+def test_pt_checkpoint_roundtrip(tmp_path):
+    """state_dict_from_torch_file must extract a usable flat dict from a real
+    ultralytics-style .pt checkpoint (SURVEY §5: ckpt = {model|ema, ...})."""
+    import torch
+
+    from ood_in_object_detection_tpu.utils.weight_import import (
+        state_dict_from_torch_file,
+    )
+
+    tm = build_reference_model("yolov8n", extraction=False)
+    p = tmp_path / "ckpt.pt"
+    torch.save({"model": tm, "train_args": {"name": "unit"}}, p)
+    sd = state_dict_from_torch_file(str(p))
+    ref = numpy_state_dict(tm)
+    assert set(sd) == set(ref)
+    np.testing.assert_array_equal(sd["model.0.conv.weight"],
+                                  ref["model.0.conv.weight"])
+
+
+def test_imagenet_backbone_graft(tmp_path):
+    """graft_classification_backbone loads a real yolov8n-cls backbone
+    (layers 0-6) into the detector; grafted layers match the source, the
+    rest stay at their previous values (custom_training.py:129-133)."""
+    import torch
+
+    from _reference_bridge import REFERENCE, install_shim
+    from ood_in_object_detection_tpu.utils.weight_import import (
+        graft_classification_backbone,
+    )
+
+    install_shim()
+    from ultralytics.nn.tasks import ClassificationModel
+
+    cm = ClassificationModel(
+        str(REFERENCE / "ultralytics/cfg/models/v8/yolov8n-cls.yaml"),
+        verbose=False)
+    p = tmp_path / "cls.pt"
+    torch.save({"model": cm}, p)
+
+    fm = build_model("yolov8n", nc=20)
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = fm.init(jax.random.PRNGKey(0), imgs, train=False)
+    before = jax.tree.map(np.asarray, variables["params"])
+
+    new_vars, grafted = graft_classification_backbone(variables, str(p), fm.spec)
+    assert grafted > 50  # layers 0..6 of v8n: ~60+ tensors incl. BN stats
+
+    csd = {k: v.float().numpy() for k, v in cm.state_dict().items()}
+    # spot-check: stem conv kernel equals the cls model's, transposed OIHW->HWIO
+    got = np.asarray(jax.tree_util.tree_flatten_with_path(new_vars["params"])[0][0][1])
+    k0 = next(np.transpose(v, (2, 3, 1, 0)) for k, v in csd.items()
+              if k == "model.0.conv.weight")
+    stem = new_vars["params"]["l0_Conv"]["conv"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(stem), k0)
+    # a head param must be untouched
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["params"]["detect"]["cv3_0_2"]["conv"]["kernel"]),
+        before["detect"]["cv3_0_2"]["conv"]["kernel"])
+    del got
