@@ -153,6 +153,18 @@ def main(argv=None) -> None:
             batcher.epoch = start_epoch  # keep close_mosaic aligned on resume
         state = shard_state(state, mesh)
         step = make_sharded_train_step(model, cfg, mesh)
+        from ..train.trainer import lr_schedule
+
+        lr_fn = lr_schedule(cfg)
+        run_dir = Path(args.out_dir) / args.name
+        run_dir.mkdir(parents=True, exist_ok=True)
+        csv_path = run_dir / "results.csv"
+        if not csv_path.exists() or start_epoch == 0:
+            # per-epoch training curve (reference utils/callbacks writes
+            # results.csv + tensorboard scalars; CSV is the durable artifact)
+            csv_path.write_text("epoch,time_s,train/box_loss,train/cls_loss,"
+                                "train/dfl_loss,train/total_loss,lr,"
+                                "metrics/mAP50,metrics/mAP50-95\n")
         for epoch in range(start_epoch, args.epochs):
             t0 = time.perf_counter()
             losses = []
@@ -160,17 +172,26 @@ def main(argv=None) -> None:
                 b = {k: batch[k] for k in ("images", "gt_labels", "gt_bboxes", "gt_mask")}
                 state, lb = step(state, device_put_batch(b, mesh))
                 losses.append(lb)
-            total = float(jnp.mean(jnp.stack([l.total for l in losses])))
-            log.info("epoch %d: loss=%.4f (%.1fs)", epoch, total, time.perf_counter() - t0)
+            mean = {k: float(jnp.mean(jnp.stack([getattr(l, k) for l in losses])))
+                    for k in ("total", "box", "cls", "dfl")}
+            dt = time.perf_counter() - t0
+            log.info("epoch %d: loss=%.4f (%.1fs)", epoch, mean["total"], dt)
+            map50 = map5095 = float("nan")
             if (epoch + 1) % max(args.val_every, 1) == 0 or epoch == args.epochs - 1:
                 if val_ds is not None and len(val_ds):
                     metrics = validate(model, state, val_ds, args, nc)
+                    map50, map5095 = metrics["mAP50"], metrics["mAP50_95"]
                     log.info("epoch %d val: mAP50=%.4f mAP50-95=%.4f", epoch,
-                             metrics["mAP50"], metrics["mAP50_95"])
+                             map50, map5095)
                 save_checkpoint(
-                    Path(args.out_dir) / args.name, state,
+                    run_dir, state,
                     train_args={"name": args.name, "nc": nc, **vars(args)},
                     model_name=name, epoch=epoch)
+            lr_now = float(lr_fn(jnp.asarray((epoch + 1) * steps_per_epoch, jnp.float32)))
+            with csv_path.open("a") as f:
+                f.write(f"{epoch},{dt:.2f},{mean['box']:.6f},{mean['cls']:.6f},"
+                        f"{mean['dfl']:.6f},{mean['total']:.6f},{lr_now:.6g},"
+                        f"{map50:.6f},{map5095:.6f}\n")
     log.info("done")
 
 

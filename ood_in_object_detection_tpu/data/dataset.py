@@ -141,6 +141,11 @@ class DetectionDataset:
                 line = line.strip()
                 if line.startswith("./"):
                     line = str(root / line[2:])
+                elif line and not Path(line).is_absolute():
+                    # relative entries resolve against the yaml `path` root
+                    # (reference FilteredYOLODataset.get_img_files,
+                    # dataset.py:928-957)
+                    line = str(root / line)
                 im_files.append(line)
         ds = cls.from_image_list(im_files, names, yaml_name=ypath.stem)
 

@@ -17,11 +17,10 @@ Algorithm -> searched parameter (reference cluster_utils.py:36-160):
     'all'                    every sample is its own cluster
     'one'                    handled by the caller (single centroid)
 
-The hdbscan-package DBCV validity index used by the reference for
-density-based scoring (cluster_utils.py:273) is not available in this
-environment; density-based scoring falls back to silhouette with a warning
-(only reachable when USE_DENSITY_BASED_METRIC / REMOVE_ORPHANS are enabled —
-both default False, matching reference defaults).
+Density-based scoring (HDBSCAN/DBSCAN with USE_DENSITY_BASED_METRIC or
+REMOVE_ORPHANS enabled) uses the DBCV validity index (reference
+cluster_utils.py:273, hdbscan.validity.validity_index) via the in-repo
+NumPy implementation in ood/dbcv.py.
 """
 
 from __future__ import annotations
@@ -132,7 +131,16 @@ def _score_labels(
     if hyp.MAKE_EACH_ORPHAN_EACH_OWN_CLUSTER:
         l_used = make_each_orphan_own_cluster(l_used)
     if density_based and (hyp.REMOVE_ORPHANS or hyp.USE_DENSITY_BASED_METRIC):
-        log.warning("DBCV index unavailable in this environment; scoring with silhouette")
+        # DBCV validity index, reference cluster_utils.py:273
+        # (hdbscan.validity.validity_index with d = feature dimension);
+        # in-repo NumPy implementation since the hdbscan package is absent
+        from .dbcv import validity_index
+
+        try:
+            return float(validity_index(f_used.astype(np.float64), l_used,
+                                        metric=metric, d=f_used.shape[1]))
+        except ValueError:
+            return None
     if perf_metric == "silhouette":
         return float(silhouette_score(f_used, l_used, metric=_SKLEARN_METRIC[metric]))
     if perf_metric == "calinski_harabasz":

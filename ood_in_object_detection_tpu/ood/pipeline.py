@@ -358,10 +358,19 @@ def evaluate_method(
             c = np.where(dec == 0, float(UNKNOWN_CLASS_INDEX), c)
 
             if enhanced_unk_localization:
+                cls_thr = None
+                if (CUSTOM_HYP.unk.rank.USE_OOD_THR_TO_REMOVE_PROPS
+                        and dm.thresholds is not None):
+                    from .thresholds import pack_thresholds_per_class_per_stride
+
+                    cls_thr = np.nan_to_num(np.asarray(
+                        pack_thresholds_per_class_per_stride(dm.thresholds)
+                    )[:, 0], nan=np.inf)  # stride 0; unfit class = no gate
                 props, _, ranks = unknown_proposals_for_image(
                     p3[i], batch["ratio_pad"][i], b,
                     rank_score_fn=_make_rank_fn(dm, p3[i]),
                     unk_prop_thr=getattr(dm, "unk_prop_thr", None),
+                    class_thresholds=cls_thr,
                 )
                 if len(props):
                     b = np.concatenate([b, props.astype(np.float64)])
@@ -392,7 +401,7 @@ def _make_rank_fn(dm: DistanceOODMethod, p3_img: np.ndarray):
     def fn(props_ftmap: np.ndarray) -> np.ndarray:
         feats = np.asarray(roi_align_1x1_single_level(
             jnp.asarray(p3_img), jnp.asarray(props_ftmap, jnp.float32), 1.0))
-        rows = []
+        rows, row_cls = [], []
         for c in range(len(dm.clusters)):
             cl = dm.clusters[c][0]
             if isinstance(cl, np.ndarray) and cl.ndim == 2 and cl.size:
@@ -400,8 +409,17 @@ def _make_rank_fn(dm: DistanceOODMethod, p3_img: np.ndarray):
                 d = np.asarray(pairwise_distance(
                     jnp.asarray(cl, jnp.float32), jnp.asarray(tf), dm.metric))
                 rows.append(d.min(axis=0))
+                row_cls.append(c)
         if not rows:
             return np.zeros(len(props_ftmap), np.float32)
-        return rank_distances(np.stack(rows), CUSTOM_HYP.unk.rank.RANK_BOXES_OPERATION)
+        mat = np.stack(rows)
+        op = CUSTOM_HYP.unk.rank.RANK_BOXES_OPERATION
+        if op == "min" and CUSTOM_HYP.unk.rank.USE_OOD_THR_TO_REMOVE_PROPS:
+            # 'min' with the per-closest-class gate: raw min distance (no
+            # x100 compensation) + the closest class id
+            # (reference ood_utils.py:1064-1070)
+            closest = np.asarray(row_cls)[mat.argmin(axis=0)]
+            return mat.min(axis=0), closest
+        return rank_distances(mat, op)
 
     return fn

@@ -278,6 +278,7 @@ def postprocess_unk_proposals(
     rank_score_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
     hyp: Optional[UnkEnhancementParams] = None,
     unk_prop_thr: Optional[float] = None,
+    class_thresholds: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Heuristics + ranking + NMS + top-K over raw per-threshold proposals
     (reference postprocess_unk_bboxes ood_utils.py:934-1174).
@@ -285,11 +286,14 @@ def postprocess_unk_proposals(
     rank_score_fn: maps padded-ftmap-space proposals (n,4) to a rank score per
     proposal (lower = more unknown with default GET_BOXES_WITH_GREATER_RANK
     False); typically distance-to-centroid reductions — supplied by the
-    distance method to keep this module method-agnostic.
+    distance method to keep this module method-agnostic. May return a tuple
+    (scores, closest_class_ids) for the USE_OOD_THR_TO_REMOVE_PROPS 'min'
+    path (ood_utils.py:1064-1070,1141-1152): proposals are then gated by the
+    per-closest-class distance threshold (``class_thresholds``, stride 0).
     """
     hyp = hyp or CUSTOM_HYP.unk
     h, w = unpadded_hw
-    kept, ranks = [], []
+    kept, ranks, closests = [], [], []
     for idx_thr, props in enumerate(boxes_per_thr):
         if len(props) == 0:
             continue
@@ -323,7 +327,12 @@ def postprocess_unk_proposals(
             continue
         kept.append(props)
         if hyp.RANK_BOXES and rank_score_fn is not None:
-            ranks.append(rank_score_fn(props))
+            r = rank_score_fn(props)
+            if isinstance(r, tuple):
+                ranks.append(r[0])
+                closests.append(r[1])
+            else:
+                ranks.append(r)
 
     if not kept:
         empty = np.empty((0, 4), np.float32)
@@ -334,6 +343,7 @@ def postprocess_unk_proposals(
         return all_props, None
 
     all_ranks = np.concatenate(ranks) if ranks else np.empty(0, np.float32)
+    all_closest = np.concatenate(closests) if closests else None
     if hyp.rank.MAX_NUM_UNK_BOXES_PER_IMAGE > 0 and len(all_ranks) > 0:
         if hyp.rank.NMS > 0:
             score = all_ranks if hyp.rank.GET_BOXES_WITH_GREATER_RANK else -all_ranks
@@ -344,7 +354,19 @@ def postprocess_unk_proposals(
                 keep = keep[::-1]
         all_props = all_props[keep]
         all_ranks = all_ranks[keep]
-        if hyp.rank.USE_UNK_PROPOSALS_THR and unk_prop_thr is not None:
+        if all_closest is not None:
+            all_closest = all_closest[keep]
+        if (hyp.rank.USE_OOD_THR_TO_REMOVE_PROPS and all_closest is not None
+                and class_thresholds is not None):
+            # per-closest-class gate (reference ood_utils.py:1141-1152
+            # 'min' path: keep proposals with distance < the closest known
+            # class's own threshold; we index thresholds by the actual class
+            # id where the reference indexes by filtered-row position)
+            thr = np.asarray(class_thresholds, np.float64)[all_closest]
+            keep_thr = all_ranks < thr
+            all_props = all_props[keep_thr]
+            all_ranks = all_ranks[keep_thr]
+        elif hyp.rank.USE_UNK_PROPOSALS_THR and unk_prop_thr is not None:
             # gate proposals by the InD rank-score threshold (reference
             # ood_utils.py:1146-1160 `distances < thresholds[80][0]`)
             keep_thr = all_ranks < unk_prop_thr
@@ -361,6 +383,7 @@ def unknown_proposals_for_image(
     rank_score_fn: Optional[Callable] = None,
     hyp: Optional[UnkEnhancementParams] = None,
     unk_prop_thr: Optional[float] = None,
+    class_thresholds: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """Full EUL pass for one image -> (proposals xyxy in image pixels,
     decisions (all 0 = unknown), rank scores or None).
@@ -390,6 +413,7 @@ def unknown_proposals_for_image(
         rank_score_fn=rank_score_fn,
         hyp=hyp,
         unk_prop_thr=unk_prop_thr,
+        class_thresholds=class_thresholds,
     )
     props_img = props * stride
     decisions = np.zeros(len(props_img), int)  # all proposals are unknown (ref :926-932)

@@ -141,3 +141,42 @@ def test_unk_proposal_threshold_gating():
     # ranks sorted ascending, gated at < 0.6 -> keeps 0.1 and 0.5
     np.testing.assert_allclose(ranks, [0.1, 0.5], rtol=1e-6)
     assert len(props) == 2
+
+
+def test_use_ood_thr_gate_keeps_close_props():
+    """USE_OOD_THR_TO_REMOVE_PROPS 'min' path (ood_utils.py:1141-1152): after
+    ranking, proposals are KEPT when their min centroid distance is below the
+    closest class's own threshold."""
+    import dataclasses
+
+    import numpy as np
+    from ood_in_object_detection_tpu.core.config import CUSTOM_HYP
+    from ood_in_object_detection_tpu.ood.unknown import postprocess_unk_proposals
+
+    hyp = dataclasses.replace(
+        CUSTOM_HYP.unk,
+        USE_HEURISTICS=True, USE_SIMPLE_HEURISTICS=False,
+        RANK_BOXES=True,
+        rank=dataclasses.replace(CUSTOM_HYP.unk.rank,
+                                 USE_OOD_THR_TO_REMOVE_PROPS=True,
+                                 NMS=0.0, MAX_NUM_UNK_BOXES_PER_IMAGE=10,
+                                 GET_BOXES_WITH_GREATER_RANK=False,
+                                 RANK_BOXES_OPERATION="min"),
+    )
+    props = np.asarray([[0, 0, 4, 4], [10, 10, 14, 14], [20, 20, 24, 24]],
+                       np.float32)
+    # rank fn returns (min distance, closest class id) per proposal
+    dists = np.asarray([0.2, 0.9, 0.4], np.float32)
+    closest = np.asarray([0, 1, 1])
+
+    def rank_fn(p):
+        return dists[: len(p)], closest[: len(p)]
+
+    class_thr = np.asarray([0.5, 0.5], np.float64)
+    out, ranks = postprocess_unk_proposals(
+        [props], (0, 0), (64, 64), np.empty((0, 4)),
+        rank_score_fn=rank_fn, hyp=hyp, class_thresholds=class_thr)
+    # sorted ascending by distance: [0.2(c0), 0.4(c1), 0.9(c1)];
+    # gate keeps dist < thr[closest]: 0.2<0.5 keep, 0.4<0.5 keep, 0.9 drop
+    assert len(out) == 2
+    np.testing.assert_allclose(sorted(ranks.tolist()), [0.2, 0.4])
