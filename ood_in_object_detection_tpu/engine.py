@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models import build_model, model_forward
-from .ops import Detections, batched_nms
+from .models.head import make_anchors
+from .ops import Detections, batched_nms, fused_detect
 from .ops.roi_align import batched_roi_align_1x1
 
 
@@ -70,6 +71,10 @@ class Detector:
     variables: dict
     img_size: int = 640
     roi_samples: int = 4
+    # lazy top-k decode (ops/fused_detect.py): DFL decode only for the
+    # pre-NMS candidates; exact up to float associativity. Disable to fall
+    # back to the full-anchor decode (decode_detections + batched_nms).
+    fused: bool = True
     _step_cache: dict = dataclasses.field(default_factory=dict, repr=False)
 
     @classmethod
@@ -95,23 +100,34 @@ class Detector:
         model = self.model
         img_size = self.img_size
         samples = self.roi_samples
+        fused = self.fused
 
         @jax.jit
         def step(variables, images, conf_thres) -> PredictOutput:
             if images.dtype == jnp.uint8:  # on-device normalize (4x less PCIe)
                 images = images.astype(jnp.float32) * (1.0 / 255.0)
-            out = model_forward(model, variables, images)
-            det = batched_nms(out["boxes_xywh"], out["cls_logits"],
-                              conf_thres=conf_thres, iou_thres=iou_thres,
-                              max_det=max_det, pre_nms_k=pre_nms_k)
-            logits = jnp.take_along_axis(out["cls_logits"], det.anchor_idx[..., None], axis=1)
-            strides = out["anchor_strides"][det.anchor_idx]
+            if fused:
+                out = model.apply(variables, images, train=False)
+                raw_levels, neck_feats = out[0], out[1]
+                det, logits = fused_detect(raw_levels, model.nc, conf_thres,
+                                           iou_thres=iou_thres, max_det=max_det,
+                                           pre_nms_k=pre_nms_k)
+                hw = [(f.shape[1], f.shape[2]) for f in raw_levels]
+                _, anchor_strides = make_anchors(hw)
+            else:
+                fw = model_forward(model, variables, images)
+                neck_feats, anchor_strides = fw["neck_feats"], fw["anchor_strides"]
+                det = batched_nms(fw["boxes_xywh"], fw["cls_logits"],
+                                  conf_thres=conf_thres, iou_thres=iou_thres,
+                                  max_det=max_det, pre_nms_k=pre_nms_k)
+                logits = jnp.take_along_axis(fw["cls_logits"], det.anchor_idx[..., None], axis=1)
+            strides = anchor_strides[det.anchor_idx]
             level = jnp.round(jnp.log2(strides / 8.0)).astype(jnp.int32)
-            roi = batched_roi_align_1x1(out["neck_feats"], det.boxes, level,
+            roi = batched_roi_align_1x1(neck_feats, det.boxes, level,
                                         img_w=img_size, samples=samples)
-            exact = _exact_pos_features(out["neck_feats"], det.anchor_idx, level)
+            exact = _exact_pos_features(neck_feats, det.anchor_idx, level)
             return PredictOutput(det, logits, level, det.anchor_idx, roi, exact,
-                                 tuple(out["neck_feats"]))
+                                 tuple(neck_feats))
 
         self._step_cache[key] = step
         return step

@@ -1,0 +1,131 @@
+"""TPU-layout-native detect: per-level NHWC DFL decode + narrow gathers + NMS.
+
+The reference decodes by flattening each level to (B, A, C), concatenating,
+reshaping the box channels to (..., 4, reg_max) and softmaxing over the last
+dim (ultralytics/nn/modules/head.py:109-151 + nn/modules/block.py:56-75 DFL).
+On TPU that reshape splits the lane dimension into (4, 16), and every op on
+the (B, A, 4, 16) tensor runs 8x lane-padded — measured 3.3 ms/batch-128 for
+v8n, pure layout waste.
+
+Here decode stays in each level's NHWC channel space:
+
+- DFL expectation without the (4, reg_max) reshape: subtract the per-anchor
+  max over ALL 64 box channels (a constant offset per anchor cancels inside
+  each 16-bin softmax, so per-chunk results are mathematically unchanged),
+  exponentiate, and contract with two block-diagonal (64, 4) matrices — bin
+  weights and ones — giving numerator and denominator of each chunk's
+  expectation in one well-tiled pass.
+- Confidence and argmax class are channel reductions on the NHWC map
+  (`sigmoid(max_c logit) == max_c sigmoid(logit)` by monotonicity).
+- Only narrow per-anchor tensors (boxes 4-wide, cls 1-wide, conf 1-wide) are
+  flattened, concatenated and gathered by top-k index; XLA's TPU row-gather
+  is slow on wide conv-produced operands (measured +2.4 ms for one 84-wide
+  gather), so the wide raw maps are never gathered. Per-box logits (the OoD
+  tap) are gathered once, post-NMS, for max_det rows in bf16.
+
+Same results as decode_detections + batched_nms up to float associativity
+(tests/test_fused_detect.py). Measured v8n batch-128 e2e: 21.6 -> 18.5 ms.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models.head import REG_MAX, STRIDES
+from .nms import Detections, suppress_and_select
+
+
+def _dfl_matrices(reg_max: int = REG_MAX):
+    bins = np.arange(reg_max, dtype=np.float32)
+    bd = np.zeros((4 * reg_max, 4), np.float32)
+    od = np.zeros((4 * reg_max, 4), np.float32)
+    for k in range(4):
+        bd[k * reg_max:(k + 1) * reg_max, k] = bins
+        od[k * reg_max:(k + 1) * reg_max, k] = 1.0
+    return bd, od
+
+
+def nhwc_dfl_boxes(f: jax.Array, stride: float, reg_max: int = REG_MAX) -> jax.Array:
+    """(B, H, W, 4*reg_max+nc) raw map -> (B, H, W, 4) xyxy boxes in pixels.
+
+    Lane-native DFL: exp(x - rowmax) contracted with block-diagonal bin/one
+    matrices; the shared rowmax offset cancels within each 16-bin softmax, so
+    each chunk's expectation equals the reference DFL conv
+    (nn/modules/block.py:56-75) exactly, in f32.
+    """
+    b, h, w, _ = f.shape
+    x = f[..., : 4 * reg_max].astype(jnp.float32)
+    e = jnp.exp(x - jnp.max(x, axis=-1, keepdims=True))
+    bd, od = _dfl_matrices(reg_max)
+    num = e @ jnp.asarray(bd)
+    den = e @ jnp.asarray(od)
+    dist = num / den                                  # (B,H,W,4) ltrb, grid units
+    gx = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, None, :]
+    gy = (jnp.arange(h, dtype=jnp.float32) + 0.5)[None, :, None]
+    x1 = (gx - dist[..., 0]) * stride
+    y1 = (gy - dist[..., 1]) * stride
+    x2 = (gx + dist[..., 2]) * stride
+    y2 = (gy + dist[..., 3]) * stride
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+class FusedDetections(NamedTuple):
+    det: Detections
+    logits: jnp.ndarray  # (B, max_det, nc) pre-sigmoid class logits per box
+
+
+def fused_detect(
+    raw_levels: Sequence[jax.Array],
+    nc: int,
+    conf_thres,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    pre_nms_k: int = 512,
+    class_agnostic: bool = False,
+) -> FusedDetections:
+    """Detect + NMS straight from raw head maps (lazy, layout-native decode).
+
+    Args:
+        raw_levels: 3x (B, H, W, 4*reg_max+nc) raw head maps (NHWC).
+        nc: number of classes.
+        conf_thres: may be a traced scalar (threshold sweeps don't recompile).
+    Returns:
+        FusedDetections(det, logits): padded Detections plus each kept box's
+        pre-sigmoid logits (the OoD tap); invalid rows are zeroed.
+    """
+    b = raw_levels[0].shape[0]
+    assert raw_levels[0].shape[-1] == 4 * REG_MAX + nc
+    confs, clss, boxes, logits = [], [], [], []
+    for f, s in zip(raw_levels, STRIDES):
+        cl = f[..., 4 * REG_MAX:]
+        confs.append(cl.astype(jnp.float32).max(axis=-1).reshape(b, -1))
+        clss.append(cl.argmax(axis=-1).astype(jnp.int32).reshape(b, -1))
+        boxes.append(nhwc_dfl_boxes(f, s).reshape(b, -1, 4))
+        logits.append(cl.reshape(b, -1, nc))
+    conf_all = jax.nn.sigmoid(jnp.concatenate(confs, axis=1))   # (B, A)
+    cls_all = jnp.concatenate(clss, axis=1)
+    box_all = jnp.concatenate(boxes, axis=1)
+    log_all = jnp.concatenate(logits, axis=1)                   # (B, A, nc) bf16
+
+    num_anchors = conf_all.shape[1]
+    k = min(pre_nms_k, num_anchors)
+    ct = jnp.asarray(conf_thres, jnp.float32)
+    masked = jnp.where(conf_all > ct, conf_all, -1.0)
+    top_conf, top_idx = lax.top_k(masked, k)                    # (B, k)
+    top_boxes = jnp.take_along_axis(box_all, top_idx[..., None], axis=1)
+    top_cls = jnp.take_along_axis(cls_all, top_idx, axis=1)
+
+    def single(tb, tc, tcl, ti):
+        return suppress_and_select(tb, tc, tcl, ti, ct, iou_thres,
+                                   max_det, class_agnostic)
+
+    det, _ = jax.vmap(single)(top_boxes, top_conf, top_cls, top_idx)
+    det_logits = jnp.take_along_axis(log_all, det.anchor_idx[..., None], axis=1)
+    det_logits = det_logits.astype(jnp.float32) * det.valid[..., None]
+    return FusedDetections(det, det_logits)

@@ -14,7 +14,7 @@ Semantics parity notes (vs ops.py:348-533, best-class-only path):
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -95,6 +95,57 @@ class Detections(NamedTuple):
         return self.valid.sum(axis=-1)
 
 
+def suppress_and_select(
+    top_boxes: jnp.ndarray,   # (k, 4) xyxy, descending-confidence order
+    top_conf: jnp.ndarray,    # (k,)
+    top_cls: jnp.ndarray,     # (k,) int32
+    top_idx: jnp.ndarray,     # (k,) flat anchor indices
+    conf_thres,
+    iou_thres: float,
+    max_det: int,
+    class_agnostic: bool,
+) -> Tuple[Detections, jnp.ndarray]:
+    """Greedy suppression over pre-selected candidates + final top-max_det.
+
+    Shared by the full-decode path (`_nms_single`) and the lazy top-k decode
+    path (`ops/fused_detect.py`). Returns the Detections plus `sel` — the
+    per-detection index into the k candidates, so callers can gather any
+    per-candidate extras (e.g. pre-sigmoid logits) without a second pass.
+    """
+    k = top_boxes.shape[0]
+    top_valid = top_conf > conf_thres
+    offset = jnp.where(class_agnostic, 0.0, top_cls.astype(jnp.float32) * MAX_WH)
+    shifted = top_boxes + offset[:, None]
+    if jax.default_backend() == "tpu" and 512 < k <= 1024:
+        # in-VMEM Pallas fixpoint (ops/pallas/nms.py): same greedy semantics,
+        # no HBM round trips for the IoU tiles
+        from .pallas.nms import greedy_keep_pallas
+
+        keep = greedy_keep_pallas(shifted, top_valid, iou_thres)
+    else:
+        keep = _greedy_keep_tiled(shifted, top_valid, iou_thres)
+
+    final_conf = jnp.where(keep, top_conf, -1.0)
+    md = min(max_det, k)
+    sel_conf, sel = lax.top_k(final_conf, md)
+    valid = sel_conf > conf_thres
+    z = jnp.where(valid, 1.0, 0.0)
+    pad = max_det - md
+
+    def p(x):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths)
+
+    det = Detections(
+        boxes=p(top_boxes[sel] * z[:, None]),
+        conf=p(jnp.where(valid, sel_conf, 0.0)),
+        cls=p(jnp.where(valid, top_cls[sel], 0)),
+        anchor_idx=p(jnp.where(valid, top_idx[sel], 0)),
+        valid=p(valid),
+    )
+    return det, p(jnp.where(valid, sel, 0))
+
+
 def _nms_single(
     boxes_xywh: jnp.ndarray,   # (A, 4)
     cls_logits: jnp.ndarray,   # (A, nc)
@@ -118,37 +169,10 @@ def _nms_single(
     if not boxes_already_xyxy:
         top_boxes = xywh2xyxy(top_boxes)
     top_cls = cls[top_idx]
-    top_valid = top_conf > conf_thres
 
-    offset = jnp.where(class_agnostic, 0.0, top_cls.astype(jnp.float32) * MAX_WH)
-    shifted = top_boxes + offset[:, None]
-    if jax.default_backend() == "tpu" and 512 < k <= 1024:
-        # in-VMEM Pallas fixpoint (ops/pallas/nms.py): same greedy semantics,
-        # no HBM round trips for the IoU tiles
-        from .pallas.nms import greedy_keep_pallas
-
-        keep = greedy_keep_pallas(shifted, top_valid, iou_thres)
-    else:
-        keep = _greedy_keep_tiled(shifted, top_valid, iou_thres)
-
-    final_conf = jnp.where(keep, top_conf, -1.0)
-    md = min(max_det, k)
-    sel_conf, sel = lax.top_k(final_conf, md)
-    valid = sel_conf > conf_thres
-    z = jnp.where(valid, 1.0, 0.0)
-    pad = max_det - md
-
-    def p(x):
-        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, widths)
-
-    return Detections(
-        boxes=p(top_boxes[sel] * z[:, None]),
-        conf=p(jnp.where(valid, sel_conf, 0.0)),
-        cls=p(jnp.where(valid, top_cls[sel], 0)),
-        anchor_idx=p(jnp.where(valid, top_idx[sel], 0)),
-        valid=p(valid),
-    )
+    det, _ = suppress_and_select(top_boxes, top_conf, top_cls, top_idx,
+                                 conf_thres, iou_thres, max_det, class_agnostic)
+    return det
 
 
 def batched_nms(
