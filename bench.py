@@ -1,15 +1,26 @@
-"""End-to-end throughput bench: YOLOv8n decode -> detect -> OoD-score.
+"""End-to-end throughput bench of the shipped inference paths.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric; the HEADLINE metric (v8n detect+score e2e)
+is printed LAST so single-line parsers keep recording it:
 
-Measures images/sec/chip for the full pipeline (640x640 bf16 forward,
-fixed-shape NMS, per-box logits gather + MSP scoring + threshold decision) on
-the attached TPU. The benchmark loop runs ON DEVICE inside a single jit
-(lax.fori_loop with a per-iteration input perturbation to defeat
-loop-invariant hoisting) and ends with a host fetch — the remote-dispatch
-tunnel used in this environment has tens-of-ms per-call latency and a
-block_until_ready that returns early, so per-dispatch host timing is
-meaningless; a fused device loop measures the chip itself.
+1. ``distance_eval_step``: the engine's REAL predict step — forward, fused
+   detect, RoI-aligned + exact-position neck features, all three neck maps —
+   plus a Cosine_cl_stride distance-method decision against a fitted-size
+   centroid bank (3 centroids x 20 classes x 3 strides, Pallas MXU kernel).
+   This is the step `cli/ood_eval.py` actually drives for distance methods
+   (reference flow: ood_utils.py:428-582).
+2. ``eul_host_ms_per_image``: host-side Enhanced Unknown Localization cost
+   per image (saliency -> Otsu thresholds -> CC boxes -> postprocess) on a
+   real P3 map (reference ood_utils.py:641-898).
+3. ``detect_score_e2e`` (headline): 640x640 bf16 forward, lazy fused
+   DFL decode + fixed-shape NMS, per-box MSP + threshold decision.
+
+All device loops run ON DEVICE inside a single jit (lax.fori_loop with a
+per-iteration input perturbation to defeat loop-invariant hoisting) and end
+with a host fetch — the remote-dispatch tunnel used in this environment has
+tens-of-ms per-call latency and a block_until_ready that returns early, so
+per-dispatch host timing is meaningless; a fused device loop measures the
+chip itself.
 
 The reference publishes no throughput numbers (BASELINE.md); vs_baseline uses
 a nominal 1000 img/s for the reference's single-A100 torch predict + per-box
@@ -21,66 +32,158 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 A100_REFERENCE_IMG_PER_SEC = 1000.0
-# batch 128 is the serving sweet spot on v5e: XLA's layout assignment stops
-# lane-padding the small-channel activations there (32 -> 1504 img/s,
-# 64 -> 2275, 128 -> 4910; slope-verified with exact accumulator checks).
+# batch 128 is the serving sweet spot on v5e (see CLAUDE.md perf notes).
 # pre_nms_k=512 is ample headroom for conf 0.25 (max_det=300) and halves the
 # NMS cost vs 1024; the engine default stays 1024 for low-threshold sweeps.
 BATCH = 128
 IMG = 640
 LOOP_ITERS = 16
 PRE_NMS_K = 512
+NC = 20
 
 
-def main():
-    from ood_in_object_detection_tpu.models import build_model, model_forward
-    from ood_in_object_detection_tpu.ops import batched_nms
-    from ood_in_object_detection_tpu.ood.scores import msp_score
+def device_loop_ms(pipeline, *args):
+    """Time `pipeline(*args, i) -> f32 scalar` on device; returns ms/iter."""
 
-    model = build_model("yolov8n", nc=20, dtype=jnp.bfloat16)
+    @jax.jit
+    def bench_loop(args, iters):
+        def body(i, acc):
+            return acc + pipeline(*args, i)
+
+        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    _ = float(bench_loop(args, 2))
+    t0 = time.perf_counter()
+    _ = float(bench_loop(args, LOOP_ITERS))  # host fetch = sync
+    dt = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    _ = float(bench_loop(args, 1))
+    overhead = time.perf_counter() - t1
+    compute = max(dt - max(overhead - dt / LOOP_ITERS, 0.0), 1e-9)
+    return compute / LOOP_ITERS * 1000.0
+
+
+def make_distance_method(neck_cmax: int):
+    """Cosine_cl_stride with a synthetic fitted state of realistic size."""
+    from ood_in_object_detection_tpu.ood.methods import DistanceOODMethod
+
+    rng = np.random.default_rng(0)
+    clusters = []
+    for _ in range(NC):
+        row = []
+        for _ in range(3):
+            c = rng.normal(size=(3, neck_cmax)).astype(np.float32)
+            row.append(c / np.linalg.norm(c, axis=-1, keepdims=True))
+        clusters.append(row)
+    m = DistanceOODMethod.from_name("Cosine_cl_stride", cluster_method="all")
+    m.clusters = clusters
+    m.thresholds = [[0.3] * 3 for _ in range(NC)]
+    return m
+
+
+def bench_distance_step():
+    from ood_in_object_detection_tpu.engine import Detector
+    from ood_in_object_detection_tpu.ood.distance import l2_normalize_rows
+
+    det = Detector.create("yolov8n", nc=NC, img_size=IMG, dtype=jnp.bfloat16)
+    method = make_distance_method(256)
+    thr = method.packed_thresholds()
+    step = det._jitted_step(iou_thres=0.45, max_det=300, pre_nms_k=PRE_NMS_K)
+
     rng = jax.random.PRNGKey(0)
     images = jax.random.uniform(rng, (BATCH, IMG, IMG, 3), jnp.float32)
-    variables = jax.jit(model.init, static_argnames="train")(rng, images[:1], train=False)
-    thresholds = jnp.full((20,), 0.5, jnp.float32)
 
-    def pipeline(variables, images):
-        out = model_forward(model, variables, images)
-        det = batched_nms(out["boxes_xywh"], out["cls_logits"],
-                          conf_thres=0.25, iou_thres=0.45, max_det=300, pre_nms_k=PRE_NMS_K)
-        logits = jnp.take_along_axis(out["cls_logits"], det.anchor_idx[..., None], axis=1)
+    def pipeline(variables, images, thr, i):
+        x = images + i.astype(jnp.float32) * 1e-9
+        out = step(variables, x, jnp.float32(0.25))
+        b, k, d = out.roi_feats.shape
+        feats = l2_normalize_rows(out.roi_feats.reshape(b * k, d).astype(jnp.float32))
+        dist = method.distances(feats, out.det.cls.reshape(-1),
+                                out.stride_level.reshape(-1))
+        ind = (dist.reshape(b, k) < thr[out.det.cls, out.stride_level])
+        ood = jnp.where(out.det.valid, ind.astype(jnp.int32), 0)
+        # consume every tap the real eval step ships (exact feats + neck maps)
+        neck_sum = sum(jnp.sum(f.astype(jnp.float32)) for f in out.neck)
+        return (out.det.conf.sum() + dist.sum() + ood.sum()
+                + jnp.sum(out.exact_feats.astype(jnp.float32)) + neck_sum)
+
+    ms = device_loop_ms(pipeline, det.variables, images, thr)
+    ips = BATCH / ms * 1000.0
+    print(json.dumps({
+        "metric": "images_per_sec_yolov8n_distance_eval_step",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(ips / A100_REFERENCE_IMG_PER_SEC, 3),
+    }))
+    return det
+
+
+def bench_eul_host(det):
+    from ood_in_object_detection_tpu.ood.unknown import unknown_proposals_for_image
+
+    rng = jax.random.PRNGKey(1)
+    images = jax.random.uniform(rng, (8, IMG, IMG, 3), jnp.float32)
+    out = det.predict(images, conf_thres=0.25, pre_nms_k=PRE_NMS_K)
+    p3 = np.asarray(out.neck[0], np.float32)
+    boxes = np.asarray(out.det.boxes, np.float32)
+    valid = np.asarray(out.det.valid)
+    ratio_pad = ((1.0, 1.0), (0.0, 0.0))
+
+    n_imgs, reps = p3.shape[0], 4
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for b in range(n_imgs):
+            unknown_proposals_for_image(p3[b], ratio_pad, boxes[b][valid[b]])
+    ms = (time.perf_counter() - t0) / (reps * n_imgs) * 1000.0
+    print(json.dumps({
+        "metric": "eul_host_ms_per_image",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(ms / 100.0, 3),  # ref host loop ~100ms/img class
+    }))
+
+
+def bench_headline():
+    from ood_in_object_detection_tpu.models import build_model
+    from ood_in_object_detection_tpu.ops import fused_detect
+    from ood_in_object_detection_tpu.ood.scores import msp_score
+
+    model = build_model("yolov8n", nc=NC, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.uniform(rng, (BATCH, IMG, IMG, 3), jnp.float32)
+    variables = jax.jit(model.init, static_argnames="train")(
+        rng, images[:1], train=False)
+    thresholds = jnp.full((NC,), 0.5, jnp.float32)
+
+    def pipeline(variables, images, i):
+        x = images + i.astype(jnp.float32) * 1e-9
+        raw_levels, _ = model.apply(variables, x, train=False)
+        det, logits = fused_detect(raw_levels, NC, jnp.float32(0.25),
+                                   iou_thres=0.45, max_det=300,
+                                   pre_nms_k=PRE_NMS_K)
         scores = msp_score(logits, det.cls)
         ood = jnp.where(det.valid, (scores >= thresholds[det.cls]).astype(jnp.int32), 0)
         return det.conf.sum() + scores.sum() + ood.sum()
 
-    @jax.jit
-    def bench_loop(variables, images, iters):
-        def body(i, acc):
-            x = images + (i.astype(jnp.float32) * 1e-9)  # defeat hoisting
-            return acc + pipeline(variables, x)
-
-        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
-
-    # compile + warm
-    _ = float(bench_loop(variables, images, 2))
-    t0 = time.perf_counter()
-    _ = float(bench_loop(variables, images, LOOP_ITERS))  # host fetch = sync
-    dt = time.perf_counter() - t0
-    # subtract the measured dispatch overhead using a 1-iteration run
-    t1 = time.perf_counter()
-    _ = float(bench_loop(variables, images, 1))
-    overhead = time.perf_counter() - t1
-    compute = max(dt - max(overhead - dt / LOOP_ITERS, 0.0), 1e-9)
-
-    ips = BATCH * LOOP_ITERS / compute
+    ms = device_loop_ms(pipeline, variables, images)
+    ips = BATCH / ms * 1000.0
     print(json.dumps({
         "metric": "images_per_sec_per_chip_yolov8n_detect_score_e2e",
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(ips / A100_REFERENCE_IMG_PER_SEC, 3),
     }))
+
+
+def main():
+    det = bench_distance_step()
+    bench_eul_host(det)
+    del det
+    bench_headline()
 
 
 def _main_with_fallback():

@@ -46,20 +46,26 @@ class PredictOutput(NamedTuple):
 def _exact_pos_features(neck_feats, anchor_idx, level=None):
     """Per-box neck feature at the box's own anchor cell (flat-anchor indexing,
     reference predict.py:288-325 carries flat indices through NMS; here they
-    are gathered on device). The neck maps share the anchor grids, so the flat
-    anchor index addresses the level-concatenated feature rows directly.
-    Channel dims are zero-padded to the max."""
+    are gathered on device). The flat anchor index addresses the
+    level-concatenated anchor rows; rather than materialising the padded
+    (B, A, Cmax) concat (a ~550 MB relayout at batch 128), each level is
+    gathered separately with its local index (clamped; out-of-level rows are
+    masked by the select), then zero-padded to Cmax and chosen per box."""
     del level
     cmax = max(f.shape[-1] for f in neck_feats)
-    flats = []
+    out = None
+    off = 0
     for f in neck_feats:
         b, h, w, c = f.shape
         fl = f.reshape(b, h * w, c)
+        local = jnp.clip(anchor_idx - off, 0, h * w - 1)
+        v = jnp.take_along_axis(fl, local[..., None], axis=1)  # (B, N, c)
         if c < cmax:
-            fl = jnp.pad(fl, ((0, 0), (0, 0), (0, cmax - c)))
-        flats.append(fl)
-    all_flat = jnp.concatenate(flats, axis=1)          # (B, A, Cmax)
-    return jnp.take_along_axis(all_flat, anchor_idx[..., None], axis=1)
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, cmax - c)))
+        in_level = (anchor_idx >= off) & (anchor_idx < off + h * w)
+        out = v if out is None else jnp.where(in_level[..., None], v, out)
+        off += h * w
+    return out
 
 
 @dataclasses.dataclass

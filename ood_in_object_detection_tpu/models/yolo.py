@@ -380,6 +380,10 @@ class YOLODetector(nn.Module):
     # v5e for the v8n stem. Params stay identical to the unfolded layers.
     folded_stem: bool = True
     v10_dual: bool = False  # v10 end2end dual head (training parity)
+    # Profiling aid: stop the forward after this layer index and return its
+    # output (used by scripts/profile_segments.py for marginal-cost prefix
+    # timing on hardware; -1 = full forward).
+    stop_after: int = -1
     dtype: Any = jnp.float32
 
     def _ch(self, c: int) -> int:
@@ -547,6 +551,8 @@ class YOLODetector(nn.Module):
             else:
                 raise ValueError(f"unknown module {mod}")
             ys.append(x)
+            if li == self.stop_after:
+                return x
         raise RuntimeError("spec did not terminate with a Detect layer")
 
 

@@ -1,0 +1,59 @@
+"""Parity of the batched gather-based RoIAlign / exact-position paths with
+their per-image reference implementations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ood_in_object_detection_tpu.engine import _exact_pos_features
+from ood_in_object_detection_tpu.ops.roi_align import (
+    batched_roi_align_1x1,
+    roi_align_1x1_multi_level,
+)
+
+
+def _rand_setup(seed=0, b=3, n=17):
+    rng = np.random.default_rng(seed)
+    fmaps = [
+        jnp.asarray(rng.normal(size=(b, 16, 16, 8)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, 8, 8, 12)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, 4, 4, 24)), jnp.float32),
+    ]
+    xy = rng.uniform(0, 100, size=(b, n, 2))
+    wh = rng.uniform(1, 40, size=(b, n, 2))
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+    level = jnp.asarray(rng.integers(0, 3, size=(b, n)), jnp.int32)
+    return fmaps, boxes, level
+
+
+def test_batched_matches_per_image_multi_level():
+    fmaps, boxes, level = _rand_setup()
+    img_w = 128
+    got = batched_roi_align_1x1(fmaps, boxes, level, img_w=img_w, samples=4)
+    for b in range(boxes.shape[0]):
+        ref = roi_align_1x1_multi_level(
+            [f[b] for f in fmaps], boxes[b], level[b], img_w=img_w, samples=4)
+        np.testing.assert_allclose(np.asarray(got[b]), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_exact_pos_matches_padded_concat():
+    fmaps, _, _ = _rand_setup(seed=1)
+    b = fmaps[0].shape[0]
+    a_total = sum(f.shape[1] * f.shape[2] for f in fmaps)
+    rng = np.random.default_rng(2)
+    aidx = jnp.asarray(rng.integers(0, a_total, size=(b, 11)), jnp.int32)
+
+    got = _exact_pos_features(fmaps, aidx)
+
+    cmax = max(f.shape[-1] for f in fmaps)
+    flats = []
+    for f in fmaps:
+        bb, h, w, c = f.shape
+        fl = f.reshape(bb, h * w, c)
+        if c < cmax:
+            fl = jnp.pad(fl, ((0, 0), (0, 0), (0, cmax - c)))
+        flats.append(fl)
+    ref = jnp.take_along_axis(jnp.concatenate(flats, axis=1),
+                              aidx[..., None], axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
