@@ -76,7 +76,9 @@ class Detector:
     model: object
     variables: dict
     img_size: int = 640
-    roi_samples: int = 4
+    # 0 = torchvision's adaptive ceil(roi_span) sampling (the reference's
+    # roi_align default, predict.py:64-70); >0 = fixed SxS grid
+    roi_samples: int = 0
     # lazy top-k decode (ops/fused_detect.py): DFL decode only for the
     # pre-NMS candidates; exact up to float associativity. Disable to fall
     # back to the full-anchor decode (decode_detections + batched_nms).

@@ -4,12 +4,15 @@ Capability parity with the reference's use of torchvision.ops.roi_align with
 ``output_size=(1,1), aligned=False, spatial_scale=ftmap_w/img_w``
 (ultralytics/models/yolo/detect/predict.py:64-70, ood_utils.py:911-917).
 
-For a 1x1 output torchvision averages an adaptive grid of bilinear samples
-over the box; adaptive sample counts are data-dependent and jit-hostile, so
-this implementation averages a *static* ``samples x samples`` uniform grid of
-bilinear taps over the box — same spatial semantics, fixed shapes. The per-box
-stride routing (boxes go to the feature level they were predicted at,
-predict.py:52-70) is handled by computing the value at every level and
+For a 1x1 output torchvision averages an adaptive ceil(roi_span)-per-axis
+grid of bilinear samples over the box (sampling_ratio<=0). The TPU
+formulation exploits that a uniform grid of bilinear taps is *separable*: the
+pooled value equals outer(axis_weights_y, axis_weights_x) contracted with the
+feature map, one dense batched MXU matmul per level — no gathers, and the
+data-dependent adaptive sample count becomes a masked weight sum with fully
+static shapes (exact up to spans of ADAPTIVE_SMAX cells, converged beyond).
+The per-box stride routing (boxes go to the feature level they were predicted
+at, predict.py:52-70) is handled by computing the value at every level and
 selecting with the per-box level index — 300 boxes x 3 levels is trivial work
 that stays on device instead of the reference's host-side bucketing.
 """
@@ -62,12 +65,32 @@ def roi_align_1x1_single_level(
     spatial_scale: float,
     samples: int = 4,
 ) -> jnp.ndarray:
-    """Average of samples x samples bilinear taps over each box -> (N, C)."""
+    """Average of bilinear taps over each box -> (N, C).
+
+    samples > 0: fixed samples x samples grid (torchvision sampling_ratio=S).
+    samples == 0: torchvision's adaptive default, S = ceil(roi_span) per axis
+    per box (capped at ADAPTIVE_SMAX) — host-side loop, used as the
+    independent reference for the batched matmul path's parity tests."""
     b = boxes_xyxy * spatial_scale
     x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
     # torchvision: roi width/height floored at 1 (aligned=False)
     bw = jnp.maximum(x2 - x1, 1.0)
     bh = jnp.maximum(y2 - y1, 1.0)
+    if samples == 0:
+        import numpy as np
+
+        outs = []
+        for i in range(b.shape[0]):
+            sx = int(min(ADAPTIVE_SMAX, np.ceil(float(bw[i]))))
+            sy = int(min(ADAPTIVE_SMAX, np.ceil(float(bh[i]))))
+            tx = (jnp.arange(sx, dtype=jnp.float32) + 0.5) / sx
+            ty = (jnp.arange(sy, dtype=jnp.float32) + 0.5) / sy
+            gx = x1[i] + tx * bw[i]
+            gy = y1[i] + ty * bh[i]
+            xx = jnp.broadcast_to(gx[None, :], (sy, sx))
+            yy = jnp.broadcast_to(gy[:, None], (sy, sx))
+            outs.append(_bilinear_at(fmap, xx, yy).mean(axis=(0, 1)))
+        return jnp.stack(outs, axis=0)
     # sample centres of an SxS uniform grid over the roi
     t = (jnp.arange(samples, dtype=jnp.float32) + 0.5) / samples
     gx = x1[:, None] + t[None, :] * bw[:, None]  # (N, S)
@@ -103,22 +126,45 @@ def roi_align_1x1_multi_level(
     return jnp.take_along_axis(stacked, level_idx[None, :, None], axis=0)[0]
 
 
+# adaptive mode: per-axis sample count ceil(roi_span) is capped here; beyond
+# the cap the sample mean has already converged to ~1e-3 of the exact integral
+ADAPTIVE_SMAX = 16
+
+
 def _axis_weights(lo, span, size: int, samples: int) -> jnp.ndarray:
-    """Accumulated bilinear weights of a uniform S-sample axis grid onto the
-    integer pixel grid -> (..., size).
+    """Accumulated, mean-normalized bilinear weights of a uniform axis sample
+    grid onto the integer pixel grid -> (..., size).
 
     A bilinear tap at continuous coordinate u spreads hat weights
     max(0, 1-|u - p|) over pixels p; border clamping (both corner indices
     clipped into range) is equivalent to clamping u into [0, size-1] first.
-    Summing the hats of all S samples gives the axis weight vector; the 2D
-    sample grid is the outer product of the two axis grids, so the 1x1
-    RoIAlign average is (wy ⊗ wx) / S² contracted with the feature map."""
-    t = (jnp.arange(samples, dtype=jnp.float32) + 0.5) / samples
-    u = lo[..., None] + t * span[..., None] - 0.5          # (..., S)
+    Summing the hats of all S samples (already divided by S) gives the axis
+    weight vector; the 2D sample grid is the outer product of the two axis
+    grids, so the 1x1 RoIAlign average is (wy ⊗ wx) contracted with the map.
+
+    samples > 0: fixed S (torchvision sampling_ratio=S).
+    samples == 0: torchvision's adaptive default (sampling_ratio<=0):
+    S = ceil(span) per box, evaluated with a static ADAPTIVE_SMAX-sample
+    grid masked down to S — exact for spans <= ADAPTIVE_SMAX."""
+    if samples > 0:
+        t = (jnp.arange(samples, dtype=jnp.float32) + 0.5) / samples
+        u = lo[..., None] + t * span[..., None] - 0.5      # (..., S)
+        inv_n = 1.0 / samples
+        mask = None
+    else:
+        smax = ADAPTIVE_SMAX
+        n = jnp.clip(jnp.ceil(span), 1.0, float(smax))     # (...,)
+        s = jnp.arange(smax, dtype=jnp.float32)
+        t = (s + 0.5) / n[..., None]                       # (..., Smax)
+        u = lo[..., None] + t * span[..., None] - 0.5
+        inv_n = (1.0 / n)[..., None]
+        mask = s < n[..., None]
     u = jnp.clip(u, 0.0, size - 1.0)
     p = jnp.arange(size, dtype=jnp.float32)
     hat = jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - p))  # (..., S, size)
-    return hat.sum(axis=-2)
+    if mask is not None:
+        hat = jnp.where(mask[..., None], hat, 0.0)
+    return hat.sum(axis=-2) * inv_n
 
 
 def _roi_align_1x1_batched_level(
@@ -145,7 +191,7 @@ def _roi_align_1x1_batched_level(
     wx = _axis_weights(x1, bw, w, samples)                 # (B, N, W)
     wy = _axis_weights(y1, bh, h, samples)                 # (B, N, H)
     q = (wy[..., :, None] * wx[..., None, :]).reshape(b, n, h * w)
-    q = (q * (1.0 / (samples * samples))).astype(fmap.dtype)
+    q = q.astype(fmap.dtype)
     flat = fmap.reshape(b, h * w, c)
     out = jnp.einsum("bnk,bkc->bnc", q, flat,
                      preferred_element_type=jnp.float32)

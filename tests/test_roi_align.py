@@ -29,12 +29,15 @@ def _rand_setup(seed=0, b=3, n=17):
 def test_batched_matches_per_image_multi_level():
     fmaps, boxes, level = _rand_setup()
     img_w = 128
-    got = batched_roi_align_1x1(fmaps, boxes, level, img_w=img_w, samples=4)
-    for b in range(boxes.shape[0]):
-        ref = roi_align_1x1_multi_level(
-            [f[b] for f in fmaps], boxes[b], level[b], img_w=img_w, samples=4)
-        np.testing.assert_allclose(np.asarray(got[b]), np.asarray(ref),
-                                   rtol=1e-5, atol=1e-5)
+    for samples in (4, 0):  # fixed grid and torchvision-adaptive
+        got = batched_roi_align_1x1(fmaps, boxes, level, img_w=img_w,
+                                    samples=samples)
+        for b in range(boxes.shape[0]):
+            ref = roi_align_1x1_multi_level(
+                [f[b] for f in fmaps], boxes[b], level[b], img_w=img_w,
+                samples=samples)
+            np.testing.assert_allclose(np.asarray(got[b]), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
 
 
 def test_exact_pos_matches_padded_concat():
