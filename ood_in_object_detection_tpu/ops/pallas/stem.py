@@ -14,10 +14,11 @@ read+write pass. Fused, the stem reads the s2d image once and writes the
 160-px output once.
 
 Kernel design:
-- input is the space-to-depth image (B, H+2, W, 48), top-padded with 2 zero
-  rows; blocks are overlapping row windows addressed with ``pl.Element``
-  indexing (the halo dim is untiled, so element offsets are unconstrained),
-  letting the Pallas pipeline double-buffer the HBM reads automatically.
+- input is the space-to-depth image (B, H, W, 48), passed twice: a blocked
+  (1, th, W, 48) main window plus a blocked (1, 2, W, 48) halo window holding
+  the previous tile's last two rows (clamped + masked to zeros for tile 0 —
+  exactly the convs' top zero padding). All DMAs are standard blocked
+  transfers; Element-indexed overlapping windows measured ~2.7x slower IO.
 - conv1 uses a *union-tap* layout: the folded k2/s1 kernel over s2d channels
   has K=192 dense taps (2 MXU K-chunks), but the taps that are actually
   nonzero live in 120 rows — [z(y,x) 48 | z(y,x-1) 48 | z(y-1,x)[36:48] |
@@ -129,10 +130,14 @@ def _shift1(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.zeros((1, a.shape[1]), a.dtype), a[:-1]], axis=0)
 
 
-def _stem_kernel(z_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
+def _stem_kernel(halo_ref, z_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
                  th: int, w: int, c1: int):
     r = th + 2
-    z = z_ref[0].reshape(r * w, 48)                        # row-major pixels
+    # window = 2 halo rows (previous tile's last two; zeros for tile 0, where
+    # the halo block is clamped to rows 0-1 and masked here) + th main rows.
+    halo = halo_ref[0].astype(z_ref.dtype)
+    halo = jnp.where(pl.program_id(1) == 0, jnp.zeros_like(halo), halo)
+    z = jnp.concatenate([halo, z_ref[0]], axis=0).reshape(r * w, 48)
     col = lax.broadcasted_iota(jnp.int32, (r * w, 1), 0) % w
     zx = jnp.where(col == 0, jnp.zeros_like(z), _shift1(z))
     u = jnp.concatenate(
@@ -168,8 +173,7 @@ def pallas_stem(z: jnp.ndarray, w1: jnp.ndarray, bn1: dict, w2: jnp.ndarray,
     """(B, H, W, 48) s2d image -> (B, H, W, C2) second-Conv output.
 
     `z` is the space-to-depth image (models/folded_stem.py::space_to_depth4),
-    unpadded; the 2 zero halo rows are added here (XLA fuses the pad into the
-    s2d relayout).
+    unpadded; top zero padding is synthesised by masking tile 0's halo.
     """
     b, h, w, cz = z.shape
     assert cz == 48
@@ -177,8 +181,9 @@ def pallas_stem(z: jnp.ndarray, w1: jnp.ndarray, bn1: dict, w2: jnp.ndarray,
     c2 = w2.shape[-1]
     assert 4 * c1 <= 128, "union-tap conv1 needs 4*C1 lanes <= 128"
     w1u, b1, w2u, b2 = fold_stem_union(w1, bn1, w2, bn2, dtype=dtype)
-    zp = jnp.pad(z.astype(dtype), ((0, 0), (2, 0), (0, 0), (0, 0)))
+    z = z.astype(dtype)
     th = _pick_tile(h, w)
+    assert th % 2 == 0 or th == h, "halo block indexing needs even tile rows"
     kern = functools.partial(_stem_kernel, th=th, w=w, c1=c1)
     grid = (b, h // th)
     flops = 2 * b * h * w * 128 * 4 * c1 + 2 * b * h * w * 12 * c1 * c2
@@ -186,9 +191,17 @@ def pallas_stem(z: jnp.ndarray, w1: jnp.ndarray, bn1: dict, w2: jnp.ndarray,
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((pl.Element(1), pl.Element(th + 2), pl.Element(w),
-                          pl.Element(48)),
-                         lambda bi, t: (bi, t * th, 0, 0),
+            # 2-row halo: the previous tile's last two rows, as a Blocked
+            # (1,2,W,48) window (index in 2-row units; clamped to 0 for tile
+            # 0 and masked in-kernel) — keeps every DMA a standard blocked
+            # transfer; Element-indexed overlapping windows measured ~7 ms
+            # IO-only vs ~2.6 ms for blocked specs on v5e (scripts/
+            # bench_stem_parts*.py).
+            pl.BlockSpec((1, 2, w, 48),
+                         lambda bi, t: (bi, jnp.maximum(t * th - 2, 0) // 2,
+                                        0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, w, 48), lambda bi, t: (bi, t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 4 * c1), lambda bi, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -206,7 +219,7 @@ def pallas_stem(z: jnp.ndarray, w1: jnp.ndarray, bn1: dict, w2: jnp.ndarray,
             flops=flops, bytes_accessed=z.size * 2 + b * h * w * c2 * 2,
             transcendentals=b * h * w * 5 * c1),
         interpret=interpret,
-    )(zp, w1u, b1, w2u, b2)
+    )(z, z, w1u, b1, w2u, b2)
 
 
 def stem_supported(x_shape, c1: int) -> bool:
