@@ -154,13 +154,17 @@ def bench_headline():
 
     model = build_model("yolov8n", nc=NC, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    images = jax.random.uniform(rng, (BATCH, IMG, IMG, 3), jnp.float32)
+    # uint8 input: the serving-path dtype (4x less PCIe; the engine step
+    # normalizes on device). The per-iteration perturbation stays in u8 so
+    # the anti-hoisting pass costs u8 traffic, as a real input feed would.
+    images = (jax.random.uniform(rng, (BATCH, IMG, IMG, 3), jnp.float32)
+              * 255).astype(jnp.uint8)
     variables = jax.jit(model.init, static_argnames="train")(
-        rng, images[:1], train=False)
+        rng, jnp.zeros((1, IMG, IMG, 3), jnp.float32), train=False)
     thresholds = jnp.full((NC,), 0.5, jnp.float32)
 
     def pipeline(variables, images, i):
-        x = images + i.astype(jnp.float32) * 1e-9
+        x = (images + i.astype(jnp.uint8)).astype(jnp.float32) * (1.0 / 255.0)
         raw_levels, _ = model.apply(variables, x, train=False)
         det, logits = fused_detect(raw_levels, NC, jnp.float32(0.25),
                                    iou_thres=0.45, max_det=300,
