@@ -24,10 +24,27 @@ def export_stablehlo(detector, out_path: str, batch: int = 1) -> Path:
     return p
 
 
+def _register_output_types():
+    """jax.export needs named serializations for the NamedTuple outputs of
+    the predict step (idempotent)."""
+    from jax import export as jexport
+
+    from ..engine import PredictOutput
+    from ..ops.nms import Detections
+
+    for cls, name in ((Detections, "ood_tpu.Detections"),
+                      (PredictOutput, "ood_tpu.PredictOutput")):
+        try:
+            jexport.register_namedtuple_serialization(cls, serialized_name=name)
+        except ValueError:
+            pass  # already registered
+
+
 def export_serialized(detector, out_path: str, batch: int = 1) -> Path:
     """jax.export round-trippable artifact (weights captured as constants)."""
     from jax import export as jexport
 
+    _register_output_types()
     step = detector.predict_fn()
     fn = lambda images: step(detector.variables, images)
     spec = jax.ShapeDtypeStruct(

@@ -69,3 +69,23 @@ def test_profiler_trace_smoke(tmp_path):
 
     f = flops_estimate(lambda x: x @ x, jnp.ones((16, 16)))
     assert f >= 2 * 16 ** 3 * 0.5  # within 2x of the analytic count
+
+
+def test_export_serialized_roundtrip(tmp_path, small_detector):
+    import jax
+    import numpy as np
+    from jax import export as jexport
+
+    from ood_in_object_detection_tpu.utils.export import (
+        _register_output_types,
+        export_serialized,
+    )
+
+    p = export_serialized(small_detector, str(tmp_path / "m.jaxexport"))
+    assert p.stat().st_size > 100_000
+    _register_output_types()
+    exported = jexport.deserialize(p.read_bytes())
+    imgs = np.zeros((1, 64, 64, 3), np.float32)
+    out = exported.call(imgs)
+    jax.block_until_ready(out)
+    assert out.det.boxes.shape[0] == 1 and out.roi_feats.ndim == 3
