@@ -183,10 +183,91 @@ def bench_headline():
     }))
 
 
+def bench_train_step():
+    """Training throughput: the full TAL+CIoU/DFL/BCE train step (fwd+bwd+
+    SGD+EMA) on the bf16 AMP-equivalent path (--dtype bfloat16 of
+    cli/train.py), reference engine/trainer.py loop."""
+    from ood_in_object_detection_tpu.models import build_model
+    from ood_in_object_detection_tpu.train import TrainConfig, init_state, train_step
+
+    batch_sz = max(BATCH // 4, 8)
+    model = build_model("yolov8n", nc=NC, dtype=jnp.bfloat16)
+    cfg = TrainConfig(epochs=10, steps_per_epoch=100)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.uniform(rng, (batch_sz, IMG, IMG, 3), jnp.float32)
+    state = init_state(model, cfg, rng, images[:1])
+    m = 16
+    batch = {
+        "images": images,
+        "gt_labels": jnp.zeros((batch_sz, m), jnp.int32),
+        "gt_bboxes": jnp.tile(jnp.asarray([[32.0, 32.0, 256.0, 256.0]]),
+                              (batch_sz, m, 1)),
+        "gt_mask": jnp.ones((batch_sz, m), bool).at[:, 4:].set(False),
+    }
+
+    def pipeline(state, batch, i):
+        b = dict(batch)
+        b["images"] = batch["images"] + i.astype(jnp.float32) * 1e-9
+        new_state, lb = train_step(model, cfg, state, b)
+        leaves = jax.tree_util.tree_leaves(new_state.params)
+        probe = sum(jnp.sum(l[..., :1].astype(jnp.float32)) for l in leaves[:8])
+        return lb.total.astype(jnp.float32) + probe * 1e-12
+
+    ms = device_loop_ms(pipeline, state, batch)
+    ips = batch_sz / ms * 1000.0
+    print(json.dumps({
+        "metric": "train_images_per_sec_yolov8n_640_bf16",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(ips / 250.0, 3),  # ~A100 v8n train img/s class
+    }))
+
+
+def bench_flagship():
+    """YOLOv8l (the paper's model, BASELINE.md) detect+score e2e."""
+    from ood_in_object_detection_tpu.models import build_model
+    from ood_in_object_detection_tpu.ops import fused_detect
+    from ood_in_object_detection_tpu.ood.scores import msp_score
+
+    model = build_model("yolov8l", nc=NC, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init, static_argnames="train")(
+        rng, jnp.zeros((1, IMG, IMG, 3), jnp.float32), train=False)
+    thresholds = jnp.full((NC,), 0.5, jnp.float32)
+
+    def pipeline(variables, images, i):
+        x = (images + i.astype(jnp.uint8)).astype(jnp.float32) * (1.0 / 255.0)
+        raw_levels, _ = model.apply(variables, x, train=False)
+        det, logits = fused_detect(raw_levels, NC, jnp.float32(0.25),
+                                   iou_thres=0.45, max_det=300,
+                                   pre_nms_k=PRE_NMS_K)
+        scores = msp_score(logits, det.cls)
+        ood = jnp.where(det.valid, (scores >= thresholds[det.cls]).astype(jnp.int32), 0)
+        return det.conf.sum() + scores.sum() + ood.sum()
+
+    for bsz in (96, 32):
+        try:
+            images = (jax.random.uniform(rng, (bsz, IMG, IMG, 3), jnp.float32)
+                      * 255).astype(jnp.uint8)
+            ms = device_loop_ms(pipeline, variables, images)
+            ips = bsz / ms * 1000.0
+            print(json.dumps({
+                "metric": "images_per_sec_yolov8l_flagship_e2e",
+                "value": round(ips, 2),
+                "unit": "img/s",
+                "vs_baseline": round(ips / A100_REFERENCE_IMG_PER_SEC, 3),
+            }))
+            return
+        except Exception:
+            continue
+
+
 def main():
     det = bench_distance_step()
     bench_eul_host(det)
     del det
+    bench_train_step()
+    bench_flagship()
     bench_headline()
 
 

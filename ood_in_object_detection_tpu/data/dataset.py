@@ -341,7 +341,7 @@ class PaddedBatcher:
 
     def __init__(self, dataset: DetectionDataset, batch_size: int = 16,
                  img_size: int = 640, max_gt: int = 128, prefetch: int = 2,
-                 image_dtype: str = "float32"):
+                 image_dtype: str = "float32", workers: int = 4):
         self.ds = dataset
         self.bs = batch_size
         self.img_size = img_size
@@ -350,6 +350,10 @@ class PaddedBatcher:
         # 'uint8' ships raw letterboxed bytes and normalizes on device
         # (4x less host->device traffic; engine.Detector handles both)
         self.image_dtype = image_dtype
+        # intra-batch decode parallelism (PIL decode + the native letterbox
+        # kernel release the GIL); the reference's analogue is the torch
+        # DataLoader worker pool (data/build.py)
+        self.workers = max(1, workers)
 
     def __len__(self):
         return (len(self.ds) + self.bs - 1) // self.bs
@@ -365,8 +369,9 @@ class PaddedBatcher:
         gtm = np.zeros((B, self.max_gt), bool)
         rp = np.zeros((B, 2, 2), np.float32)
         osh = np.zeros((B, 2), np.int32)
-        names = []
-        for j in range(B):
+        names = [""] * B
+
+        def fill(j: int):
             lb = self.ds.labels[idxs[j % n]]
             if u8:
                 from PIL import Image
@@ -383,7 +388,17 @@ class PaddedBatcher:
             gtm[j, :m] = True
             rp[j] = np.asarray(ratio_pad, np.float32)
             osh[j] = lb.shape
-            names.append(Path(lb.im_file).stem)
+            names[j] = Path(lb.im_file).stem
+
+        if self.workers > 1 and B > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if getattr(self, "_pool", None) is None:
+                self._pool = ThreadPoolExecutor(max_workers=self.workers)
+            list(self._pool.map(fill, range(B)))
+        else:
+            for j in range(B):
+                fill(j)
         return dict(images=images, gt_bboxes=gtb, gt_labels=gtc, gt_mask=gtm,
                     ratio_pad=rp, orig_shapes=osh, im_names=names,
                     batch_mask=np.arange(B) < n)

@@ -151,6 +151,22 @@ class Detector:
     def predict(self, images, conf_thres: float = 0.25, **kw) -> PredictOutput:
         return self.predict_fn(conf_thres=conf_thres, **kw)(self.variables, images)
 
+    def predict_sharded(self, images, mesh, conf_thres: float = 0.25,
+                        **kw) -> PredictOutput:
+        """Multi-chip data-parallel serving: params replicated, the image
+        batch sharded over the mesh's data axis; jit compiles the same step
+        as an SPMD program (XLA inserts the collectives — none are needed for
+        DP inference, every per-image output stays on its shard).
+
+        The reference parallelizes eval by launching one process per GPU
+        (replicate/benchmarks_v8.sh); here one process drives the whole mesh.
+        """
+        from .parallel.mesh import batch_sharding, replicated
+
+        v = jax.device_put(self.variables, replicated(mesh))
+        x = jax.device_put(images, batch_sharding(mesh))
+        return self.predict_fn(conf_thres=conf_thres, **kw)(v, x)
+
     # per-level neck channel counts (to slice roi_feats padding)
     def neck_channels(self) -> Tuple[int, ...]:
         dummy = jax.eval_shape(

@@ -47,3 +47,22 @@ def test_tp_placed_kernel_is_split():
     shard_shapes = {s.data.shape for s in placed.addressable_shards}
     assert shard_shapes == {(3, 3, 64, 64)}
     np.testing.assert_array_equal(np.asarray(placed), np.asarray(params["k"]))
+
+
+def test_sharded_predict_matches_single_device():
+    """DP serving: the engine step over an 8-device mesh produces the same
+    numbers as the unsharded step, with outputs sharded on the batch axis."""
+    from ood_in_object_detection_tpu.engine import Detector
+
+    det = Detector.create("yolov8n", nc=4, img_size=64)
+    imgs = jax.random.uniform(jax.random.PRNGKey(0), (8, 64, 64, 3))
+    mesh = make_mesh(data=8, model=1)
+    out_s = det.predict_sharded(imgs, mesh, conf_thres=1e-6, pre_nms_k=128)
+    out_1 = det.predict(imgs, conf_thres=1e-6, pre_nms_k=128)
+    assert len(out_s.det.boxes.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out_s.det.boxes),
+                               np.asarray(out_1.det.boxes), rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_s.det.valid),
+                                  np.asarray(out_1.det.valid))
+    np.testing.assert_allclose(np.asarray(out_s.roi_feats),
+                               np.asarray(out_1.roi_feats), rtol=1e-5, atol=1e-5)
