@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models import build_model, model_forward
-from .models.head import make_anchors
+
 from .ops import Detections, batched_nms, fused_detect
 from .ops.roi_align import batched_roi_align_1x1
 
@@ -121,16 +121,21 @@ class Detector:
                                            iou_thres=iou_thres, max_det=max_det,
                                            pre_nms_k=pre_nms_k)
                 hw = [(f.shape[1], f.shape[2]) for f in raw_levels]
-                _, anchor_strides = make_anchors(hw)
             else:
                 fw = model_forward(model, variables, images)
-                neck_feats, anchor_strides = fw["neck_feats"], fw["anchor_strides"]
+                neck_feats = fw["neck_feats"]
                 det = batched_nms(fw["boxes_xywh"], fw["cls_logits"],
                                   conf_thres=conf_thres, iou_thres=iou_thres,
                                   max_det=max_det, pre_nms_k=pre_nms_k)
                 logits = jnp.take_along_axis(fw["cls_logits"], det.anchor_idx[..., None], axis=1)
-            strides = anchor_strides[det.anchor_idx]
-            level = jnp.round(jnp.log2(strides / 8.0)).astype(jnp.int32)
+                hw = [(f.shape[1], f.shape[2]) for f in neck_feats]
+            # level from the flat anchor index by comparing against the level
+            # boundaries — an anchor_strides[anchor_idx] table gather costs
+            # tens of ns per element on TPU (PERF.md)
+            b0 = hw[0][0] * hw[0][1]
+            b1 = b0 + hw[1][0] * hw[1][1]
+            level = ((det.anchor_idx >= b0).astype(jnp.int32)
+                     + (det.anchor_idx >= b1).astype(jnp.int32))
             roi = batched_roi_align_1x1(neck_feats, det.boxes, level,
                                         img_w=img_size, samples=samples)
             exact = _exact_pos_features(neck_feats, det.anchor_idx, level)

@@ -39,7 +39,7 @@ from .distance import (
     min_distance_to_class_centroids,
     NO_CLUSTER_DISTANCE,
 )
-from .scores import logits_score_fn, LOGITS_METHODS
+from .scores import logits_score_fn, table_lookup, LOGITS_METHODS
 from .thresholds import (
     generate_thresholds_per_class,
     generate_thresholds_per_class_per_stride,
@@ -128,7 +128,7 @@ class LogitsOODMethod:
 
     def decide(self, logits: jnp.ndarray, cls: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         """(B,N,nc),(B,N),(B,N) -> (B,N) 1=InD / 0=OoD (invalid boxes: 0)."""
-        thr = self.packed_thresholds()[cls]
+        thr = table_lookup(self.packed_thresholds(), cls)
         s = self._score(logits, cls)
         return jnp.where(valid, (s >= thr).astype(jnp.int32), 0)
 
@@ -139,9 +139,9 @@ class LogitsOODMethod:
 
     def indness(self, logits: jnp.ndarray, cls: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         """Piecewise-linear INDness in [-1, 1] (ood_utils.py:1224-1283)."""
-        thr = self.packed_thresholds()[cls]
-        mx = jnp.asarray(self.max_score)[cls]
-        mn = jnp.asarray(self.min_score)[cls]
+        thr = table_lookup(self.packed_thresholds(), cls)
+        mx = table_lookup(jnp.asarray(self.max_score), cls)
+        mn = table_lookup(jnp.asarray(self.min_score), cls)
         s = self._score(logits, cls)
         pos = (s - thr) / jnp.maximum(mx - thr, 1e-12)
         neg = (s - thr) / jnp.maximum(thr - mn, 1e-12)
@@ -328,23 +328,24 @@ class DistanceOODMethod:
             groups = bank.centroids.reshape(nc * s, kmax, dd)
             kmask = (jnp.arange(kmax)[None, :] < bank.count.reshape(-1)[:, None])
             dmat = min_group_distances(feats, groups, kmask, self.metric)
-            gidx = cls * s + stride_idx
-            dmin = jnp.take_along_axis(dmat, gidx[:, None], axis=1)[:, 0]
+            gidx = (cls * s + stride_idx)[:, None]
+            sel = gidx == jnp.arange(nc * s, dtype=jnp.int32)
+            dmin = jnp.sum(jnp.where(sel, dmat, 0.0), axis=1)
             return jnp.where(jnp.isfinite(dmin), dmin, NO_CLUSTER_DISTANCE)
         return min_distance_to_class_centroids(feats, cls, stride_idx, bank, self.metric)
 
     def decide_from_distances(self, dist: jnp.ndarray, cls: jnp.ndarray,
                               stride_idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-        thr = self.packed_thresholds()[cls, stride_idx]
+        thr = table_lookup(self.packed_thresholds(), cls, stride_idx)
         ind = (dist < thr) & ~jnp.isnan(thr)
         return jnp.where(valid, ind.astype(jnp.int32), 0)
 
     def indness_from_distances(self, dist: jnp.ndarray, cls: jnp.ndarray,
                                stride_idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         """ood_utils.py:1584-1650 (DISTANCE_USE_IN_DISTRIBUTION_TO_DEFINE_LIMITS)."""
-        thr = self.packed_thresholds()[cls, stride_idx]
-        mx = jnp.asarray(self.max_dist)[cls, stride_idx]
-        mn = jnp.asarray(self.min_dist)[cls, stride_idx]
+        thr = table_lookup(self.packed_thresholds(), cls, stride_idx)
+        mx = table_lookup(jnp.asarray(self.max_dist), cls, stride_idx)
+        mn = table_lookup(jnp.asarray(self.min_dist), cls, stride_idx)
         above = -(dist - thr) / jnp.maximum(mx - thr, 1e-12)
         below = (thr - dist) / jnp.maximum(thr - mn, 1e-12)
         ind = jnp.where(dist > thr, above, jnp.where(dist < thr, below, 0.0))

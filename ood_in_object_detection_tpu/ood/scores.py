@@ -23,7 +23,28 @@ LOGITS_METHODS = ("NoMethod", "MSP", "Energy", "ODIN", "Sigmoid")
 
 
 def _take_cls(values: jnp.ndarray, cls: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take_along_axis(values, cls[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    """values[..., cls] as a one-hot reduction — per-element lane gathers
+    (take_along_axis) cost tens of ns each on TPU (PERF.md); the compare+sum
+    is a fused VPU pass over the small (..., nc) tensor."""
+    nc = values.shape[-1]
+    sel = cls[..., None].astype(jnp.int32) == jnp.arange(nc, dtype=jnp.int32)
+    return jnp.sum(jnp.where(sel, values, 0.0), axis=-1)
+
+
+def table_lookup(table, *idx) -> jnp.ndarray:
+    """``table[idx]`` / ``table[idx0, idx1]`` for small tables (per-class or
+    per-class-per-stride thresholds) as a one-hot reduction — elementwise
+    gathers cost tens of ns each on TPU (PERF.md), a (..., K) compare+sum is
+    one fused VPU pass. NaN entries propagate for selected indices."""
+    t = jnp.asarray(table)
+    if len(idx) == 2:
+        k2 = t.shape[1]
+        flat = idx[0].astype(jnp.int32) * k2 + idx[1].astype(jnp.int32)
+    else:
+        flat = idx[0].astype(jnp.int32)
+    t = t.reshape(-1)
+    sel = flat[..., None] == jnp.arange(t.shape[0], dtype=jnp.int32)
+    return jnp.sum(jnp.where(sel, t, jnp.zeros_like(t)), axis=-1)
 
 
 def msp_score(logits: jnp.ndarray, cls: jnp.ndarray) -> jnp.ndarray:

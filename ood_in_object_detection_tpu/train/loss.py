@@ -34,8 +34,14 @@ def df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     wl = tr.astype(jnp.float32) - target
     wr = 1.0 - wl
     logp = jax.nn.log_softmax(pred_dist, axis=-1)
-    ce_l = -jnp.take_along_axis(logp, jnp.clip(tl, 0, REG_MAX - 1)[..., None], -1)[..., 0]
-    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, REG_MAX - 1)[..., None], -1)[..., 0]
+    # bin selection as a one-hot reduction, NOT take_along_axis: a per-element
+    # lane gather costs ~15 ns/row on TPU — 2x (B*A*4) of them measured ~30 ms
+    # per batch-32 step (PERF.md); the one-hot compare is pure VPU work.
+    bins = jnp.arange(REG_MAX, dtype=jnp.int32)
+    sel_l = jnp.clip(tl, 0, REG_MAX - 1)[..., None] == bins
+    sel_r = jnp.clip(tr, 0, REG_MAX - 1)[..., None] == bins
+    ce_l = -jnp.sum(jnp.where(sel_l, logp, 0.0), axis=-1)
+    ce_r = -jnp.sum(jnp.where(sel_r, logp, 0.0), axis=-1)
     return (ce_l * wl + ce_r * wr).mean(axis=-1)
 
 

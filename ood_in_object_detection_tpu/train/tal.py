@@ -119,8 +119,11 @@ def assign(
     fg_mask = mask_pos.any(axis=1)                                      # (B, A)
     target_gt_idx = jnp.argmax(mask_pos, axis=1).astype(jnp.int32)      # (B, A)
 
-    tb = jnp.take_along_axis(gt_bboxes, target_gt_idx[:, :, None], axis=1)  # (B, A, 4)
-    tl = jnp.take_along_axis(gt_lab, target_gt_idx, axis=1)                 # (B, A)
+    # per-anchor GT lookup as a one-hot contraction (a take_along_axis here
+    # is B*A row gathers at ~15 ns each — several ms/step; see PERF.md)
+    sel = jax.nn.one_hot(target_gt_idx, M, dtype=gt_bboxes.dtype)       # (B, A, M)
+    tb = jnp.einsum("bam,bmc->bac", sel, gt_bboxes)                     # (B, A, 4)
+    tl = jnp.einsum("bam,bm->ba", sel, gt_lab.astype(sel.dtype)).astype(jnp.int32)
 
     # normalized soft targets (tal.py:150-176)
     align_pos = jnp.where(mask_pos, align, 0.0)
