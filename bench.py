@@ -147,20 +147,15 @@ def bench_eul_host(det):
     }))
 
 
-def bench_headline():
-    from ood_in_object_detection_tpu.models import build_model
+def _detect_score_pipeline(model):
+    """u8-input forward + fused detect + MSP + threshold decide closure.
+
+    uint8 input is the serving-path dtype (4x less PCIe; normalize on
+    device); the per-iteration perturbation stays in u8 so the anti-hoisting
+    pass costs u8 traffic, as a real input feed would."""
     from ood_in_object_detection_tpu.ops import fused_detect
     from ood_in_object_detection_tpu.ood.scores import msp_score
 
-    model = build_model("yolov8n", nc=NC, dtype=jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
-    # uint8 input: the serving-path dtype (4x less PCIe; the engine step
-    # normalizes on device). The per-iteration perturbation stays in u8 so
-    # the anti-hoisting pass costs u8 traffic, as a real input feed would.
-    images = (jax.random.uniform(rng, (BATCH, IMG, IMG, 3), jnp.float32)
-              * 255).astype(jnp.uint8)
-    variables = jax.jit(model.init, static_argnames="train")(
-        rng, jnp.zeros((1, IMG, IMG, 3), jnp.float32), train=False)
     thresholds = jnp.full((NC,), 0.5, jnp.float32)
 
     def pipeline(variables, images, i):
@@ -173,14 +168,51 @@ def bench_headline():
         ood = jnp.where(det.valid, (scores >= thresholds[det.cls]).astype(jnp.int32), 0)
         return det.conf.sum() + scores.sum() + ood.sum()
 
-    ms = device_loop_ms(pipeline, variables, images)
-    ips = BATCH / ms * 1000.0
-    print(json.dumps({
-        "metric": "images_per_sec_per_chip_yolov8n_detect_score_e2e",
-        "value": round(ips, 2),
-        "unit": "img/s",
-        "vs_baseline": round(ips / A100_REFERENCE_IMG_PER_SEC, 3),
-    }))
+    return pipeline
+
+
+def _bench_detect_score(name: str, metric: str, batch_sizes):
+    """Build the model once, time the detect+score pipeline at the first
+    batch size that fits, print the metric JSON line."""
+    import sys
+    import traceback
+
+    from ood_in_object_detection_tpu.models import build_model
+
+    model = build_model(name, nc=NC, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init, static_argnames="train")(
+        rng, jnp.zeros((1, IMG, IMG, 3), jnp.float32), train=False)
+    pipeline = _detect_score_pipeline(model)
+    for bsz in batch_sizes:
+        try:
+            images = (jax.random.uniform(rng, (bsz, IMG, IMG, 3), jnp.float32)
+                      * 255).astype(jnp.uint8)
+            ms = device_loop_ms(pipeline, variables, images)
+            ips = bsz / ms * 1000.0
+            print(json.dumps({
+                "metric": metric,
+                "value": round(ips, 2),
+                "unit": "img/s",
+                "vs_baseline": round(ips / A100_REFERENCE_IMG_PER_SEC, 3),
+            }))
+            return
+        except Exception:
+            print(f"{metric} failed at batch {bsz}:", file=sys.stderr)
+            traceback.print_exc()
+    print(f"{metric}: all batch sizes failed", file=sys.stderr)
+
+
+def bench_headline():
+    _bench_detect_score("yolov8n",
+                        "images_per_sec_per_chip_yolov8n_detect_score_e2e",
+                        (BATCH, 32))
+
+
+def bench_flagship():
+    """YOLOv8l (the paper's model, BASELINE.md) detect+score e2e."""
+    _bench_detect_score("yolov8l", "images_per_sec_yolov8l_flagship_e2e",
+                        (96, 32))
 
 
 def bench_train_step():
@@ -190,20 +222,10 @@ def bench_train_step():
     from ood_in_object_detection_tpu.models import build_model
     from ood_in_object_detection_tpu.train import TrainConfig, init_state, train_step
 
-    batch_sz = max(BATCH // 4, 8)
     model = build_model("yolov8n", nc=NC, dtype=jnp.bfloat16)
     cfg = TrainConfig(epochs=10, steps_per_epoch=100)
     rng = jax.random.PRNGKey(0)
-    images = jax.random.uniform(rng, (batch_sz, IMG, IMG, 3), jnp.float32)
-    state = init_state(model, cfg, rng, images[:1])
     m = 16
-    batch = {
-        "images": images,
-        "gt_labels": jnp.zeros((batch_sz, m), jnp.int32),
-        "gt_bboxes": jnp.tile(jnp.asarray([[32.0, 32.0, 256.0, 256.0]]),
-                              (batch_sz, m, 1)),
-        "gt_mask": jnp.ones((batch_sz, m), bool).at[:, 4:].set(False),
-    }
 
     def pipeline(state, batch, i):
         b = dict(batch)
@@ -213,53 +235,32 @@ def bench_train_step():
         probe = sum(jnp.sum(l[..., :1].astype(jnp.float32)) for l in leaves[:8])
         return lb.total.astype(jnp.float32) + probe * 1e-12
 
-    ms = device_loop_ms(pipeline, state, batch)
-    ips = batch_sz / ms * 1000.0
-    print(json.dumps({
-        "metric": "train_images_per_sec_yolov8n_640_bf16",
-        "value": round(ips, 2),
-        "unit": "img/s",
-        "vs_baseline": round(ips / 250.0, 3),  # ~A100 v8n train img/s class
-    }))
-
-
-def bench_flagship():
-    """YOLOv8l (the paper's model, BASELINE.md) detect+score e2e."""
-    from ood_in_object_detection_tpu.models import build_model
-    from ood_in_object_detection_tpu.ops import fused_detect
-    from ood_in_object_detection_tpu.ood.scores import msp_score
-
-    model = build_model("yolov8l", nc=NC, dtype=jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
-    variables = jax.jit(model.init, static_argnames="train")(
-        rng, jnp.zeros((1, IMG, IMG, 3), jnp.float32), train=False)
-    thresholds = jnp.full((NC,), 0.5, jnp.float32)
-
-    def pipeline(variables, images, i):
-        x = (images + i.astype(jnp.uint8)).astype(jnp.float32) * (1.0 / 255.0)
-        raw_levels, _ = model.apply(variables, x, train=False)
-        det, logits = fused_detect(raw_levels, NC, jnp.float32(0.25),
-                                   iou_thres=0.45, max_det=300,
-                                   pre_nms_k=PRE_NMS_K)
-        scores = msp_score(logits, det.cls)
-        ood = jnp.where(det.valid, (scores >= thresholds[det.cls]).astype(jnp.int32), 0)
-        return det.conf.sum() + scores.sum() + ood.sum()
-
-    for bsz in (96, 32):
+    for batch_sz in (BATCH, max(BATCH // 4, 8)):
         try:
-            images = (jax.random.uniform(rng, (bsz, IMG, IMG, 3), jnp.float32)
-                      * 255).astype(jnp.uint8)
-            ms = device_loop_ms(pipeline, variables, images)
-            ips = bsz / ms * 1000.0
+            images = jax.random.uniform(rng, (batch_sz, IMG, IMG, 3), jnp.float32)
+            state = init_state(model, cfg, rng, images[:1])
+            batch = {
+                "images": images,
+                "gt_labels": jnp.zeros((batch_sz, m), jnp.int32),
+                "gt_bboxes": jnp.tile(jnp.asarray([[32.0, 32.0, 256.0, 256.0]]),
+                                      (batch_sz, m, 1)),
+                "gt_mask": jnp.ones((batch_sz, m), bool).at[:, 4:].set(False),
+            }
+            ms = device_loop_ms(pipeline, state, batch)
+            ips = batch_sz / ms * 1000.0
             print(json.dumps({
-                "metric": "images_per_sec_yolov8l_flagship_e2e",
+                "metric": "train_images_per_sec_yolov8n_640_bf16",
                 "value": round(ips, 2),
                 "unit": "img/s",
-                "vs_baseline": round(ips / A100_REFERENCE_IMG_PER_SEC, 3),
+                "vs_baseline": round(ips / 250.0, 3),  # ~A100 v8n train img/s
             }))
             return
         except Exception:
-            continue
+            import sys
+            import traceback
+
+            print(f"train bench failed at batch {batch_sz}:", file=sys.stderr)
+            traceback.print_exc()
 
 
 def main():

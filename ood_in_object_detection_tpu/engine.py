@@ -102,7 +102,7 @@ class Detector:
         """One compiled step per (iou, max_det, k); conf_thres is a *traced*
         argument so benchmark sweeps over test thresholds never recompile
         (the reference re-runs predict per threshold, ood_evaluation.py:1015)."""
-        key = (iou_thres, max_det, pre_nms_k)
+        key = (iou_thres, max_det, pre_nms_k, self.fused, self.roi_samples)
         if key in self._step_cache:
             return self._step_cache[key]
         model = self.model
@@ -168,7 +168,11 @@ class Detector:
         """
         from .parallel.mesh import batch_sharding, replicated
 
-        v = jax.device_put(self.variables, replicated(mesh))
+        ck = ("replicated", mesh)
+        if ck not in self._step_cache:  # replicate weights once per mesh
+            self._step_cache[ck] = jax.device_put(self.variables,
+                                                  replicated(mesh))
+        v = self._step_cache[ck]
         x = jax.device_put(images, batch_sharding(mesh))
         return self.predict_fn(conf_thres=conf_thres, **kw)(v, x)
 

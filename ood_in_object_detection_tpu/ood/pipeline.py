@@ -169,32 +169,36 @@ def _size_to_level(box_xyxy: np.ndarray, img_w: int) -> int:
 
 def _all_stride_roi(out: PredictOutput, boxes, valid, img_w):
     """3 x (B, N, C_s) RoI features of every detected box at every stride
-    (reference extract_all_strides=True, predict.py:52-60)."""
-    import jax
+    (reference extract_all_strides=True, predict.py:52-60).
 
-    from ..ops.roi_align import roi_align_1x1_single_level
+    Uses the same adaptive-sampling batched RoIAlign as the engine's
+    roi_feats (samples=0), so fit-time features match the eval-time features
+    the distance thresholds are applied to."""
+    from ..ops.roi_align import _roi_align_1x1_batched_level
 
     feats = []
     bx = out.det.boxes
     for lvl, fmap in enumerate(out.neck):
         scale = fmap.shape[2] / img_w
-        fn = lambda f, b: roi_align_1x1_single_level(f, b, scale)
-        feats.append(jax.vmap(fn)(fmap, bx))
+        feats.append(_roi_align_1x1_batched_level(fmap, bx, scale, samples=0))
     return feats
 
 
 def _target_roi_feats(out: PredictOutput, tgt_boxes_xyxy: np.ndarray, img_w,
                       image_index: Optional[int] = None):
     """3 x (M, C_s) RoI features of ground-truth boxes on one image
-    (target-based InD options, reference ood_utils.py:1655-1720)."""
-    from ..ops.roi_align import roi_align_1x1_single_level
+    (target-based InD options, reference ood_utils.py:1655-1720). Adaptive
+    sampling, matching the engine's eval-time RoI features."""
+    from ..ops.roi_align import _roi_align_1x1_batched_level
 
     i = image_index if image_index is not None else 0
     b = jnp.asarray(tgt_boxes_xyxy, jnp.float32)
     outs = []
     for fmap in out.neck:
         scale = fmap.shape[2] / img_w
-        outs.append(np.asarray(roi_align_1x1_single_level(fmap[i], b, scale)))
+        outs.append(np.asarray(
+            _roi_align_1x1_batched_level(fmap[i][None], b[None], scale,
+                                         samples=0)[0]))
     return outs
 
 
@@ -229,6 +233,20 @@ def _decisions_for_method(method, out: PredictOutput, neck_ch,
         if raw:
             raise ValueError("raw scores are per-member; fuse INDness instead "
                              "(fit the pipeline and use want_scores=True)")
+        if want_scores and method.strategy != "score":
+            # continuous score for AUROC collection: member INDness combined
+            # with the strategy's continuous analogue, matching
+            # fuse_decisions' conventions (and -> max, or -> min over InD
+            # decisions; vote -> mean); the boolean fuse would degenerate to
+            # {0,1} "scores"
+            member = [_decisions_for_method(m, out, neck_ch, True)
+                      for m in method.methods]
+            stacked = jnp.stack(member)
+            if method.strategy == "and":
+                return jnp.max(stacked, axis=0)
+            if method.strategy == "or":
+                return jnp.min(stacked, axis=0)
+            return jnp.mean(stacked, axis=0)  # vote
         want_member_scores = method.strategy == "score"
         member = [
             _decisions_for_method(m, out, neck_ch, want_member_scores)
@@ -246,7 +264,9 @@ def _decisions_for_method(method, out: PredictOutput, neck_ch,
                   else out.roi_feats)
     cmax = base_feats.shape[-1]
     # per-box features: zero out channels beyond the box's stride channel count
-    ch = jnp.asarray(neck_ch)[out.stride_level]              # (B, N)
+    from .scores import table_lookup
+
+    ch = table_lookup(jnp.asarray(neck_ch), out.stride_level)  # (B, N)
     chmask = jnp.arange(cmax)[None, None, :] < ch[..., None]
     feats = jnp.where(chmask, base_feats, 0.0)
     flat = l2_normalize_rows(feats.reshape(-1, cmax))

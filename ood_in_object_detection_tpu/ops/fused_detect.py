@@ -65,7 +65,11 @@ def nhwc_dfl_boxes(f: jax.Array, stride: float, reg_max: int = REG_MAX) -> jax.A
     bd, od = _dfl_matrices(reg_max)
     num = e @ jnp.asarray(bd)
     den = e @ jnp.asarray(od)
-    dist = num / den                                  # (B,H,W,4) ltrb, grid units
+    # den floor: with the shared rowmax (vs the reference's per-chunk max), a
+    # chunk sitting far below the anchor's max over all 64 channels can
+    # underflow entirely; 0/0 would be NaN — floor gives dist 0 (anchor
+    # point) for such degenerate chunks instead. Identical otherwise.
+    dist = num / jnp.maximum(den, 1e-20)              # (B,H,W,4) ltrb, grid units
     gx = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, None, :]
     gy = (jnp.arange(h, dtype=jnp.float32) + 0.5)[None, :, None]
     x1 = (gx - dist[..., 0]) * stride

@@ -159,10 +159,11 @@ def _stem_kernel(halo_ref, z_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
 
 
 def _pick_tile(h: int, w: int) -> int:
-    """Largest divisor of h with about 3200 pixels per tile row-block."""
+    """Largest EVEN divisor of h with about 3200 pixels per tile row-block
+    (even: the halo BlockSpec indexes in 2-row units), falling back to h."""
     target = max(8, 3200 // max(w, 1))
-    best = 1
-    for th in range(1, h + 1):
+    best = h
+    for th in range(2, h + 1, 2):
         if h % th == 0 and th <= target:
             best = th
     return best
