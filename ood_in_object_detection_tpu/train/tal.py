@@ -99,13 +99,19 @@ def assign(
 
     # top-k per gt among candidates (tal.py select_topk_candidates: with the
     # mask_gt topk_mask the reference applies NO value floor — zero-metric
-    # picks are later removed by the in_gts/valid intersection)
-    topk_vals, topk_idx = jax.lax.top_k(align_masked, topk)             # (B, M, k)
-    topk_ok = jnp.broadcast_to(gt_mask[:, :, None], topk_idx.shape)
+    # picks are later removed by the in_gts/valid intersection).
+    # Selection runs as k unrolled argmax+mask-out rounds instead of
+    # lax.top_k + scatter: identical picks (both are first-index-stable over
+    # ties), and the sort-based top_k plus the (B*M) scatters measured ~4x
+    # the cost of these k cheap VPU passes on v5e (PERF.md).
+    arange_a = jnp.arange(A, dtype=jnp.int32)
+    x = align_masked
     mask_topk = jnp.zeros((B, M, A), bool)
-    mask_topk = jax.vmap(jax.vmap(
-        lambda m, idx, ok: m.at[idx].set(ok, mode="drop")
-    ))(mask_topk, topk_idx, topk_ok)
+    for _ in range(topk):
+        am = jnp.argmax(x, axis=-1)                                     # (B, M)
+        oh = am[..., None] == arange_a                                  # (B, M, A)
+        mask_topk = mask_topk | (oh & gt_mask[:, :, None])
+        x = jnp.where(oh, -1.0, x)
     mask_pos = mask_topk & valid                                        # (B, M, A)
 
     # conflicts: anchor claimed by >1 gt -> keep gt with max IoU
