@@ -42,3 +42,49 @@ def test_metrics_dict_keys(rng):
     assert set(m) == {"AUROC", "FPR95", "AUPR"}
     assert m["AUROC"] > 0.75
     assert m["FPR95"] < 0.6
+
+
+def test_fusion_and_or_score_collection_is_continuous():
+    """AUROC collection for and/or fusion must return continuous combined
+    INDness, not the binary fused decision (code-review r2 finding)."""
+    import jax.numpy as jnp
+
+    from ood_in_object_detection_tpu.engine import PredictOutput
+    from ood_in_object_detection_tpu.ood.methods import (
+        FusionOODMethod, LogitsOODMethod)
+    from ood_in_object_detection_tpu.ood.pipeline import _decisions_for_method
+    from ood_in_object_detection_tpu.ops.nms import Detections
+
+    nc, n = 3, 8
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(1, n, nc)).astype(np.float32))
+    cls = jnp.asarray(rng.integers(0, nc, (1, n)), jnp.int32)
+    det = Detections(boxes=jnp.zeros((1, n, 4)), conf=jnp.full((1, n), 0.9),
+                     cls=cls, anchor_idx=jnp.zeros((1, n), jnp.int32),
+                     valid=jnp.ones((1, n), bool))
+    out = PredictOutput(det, logits, jnp.zeros((1, n), jnp.int32),
+                        det.anchor_idx, jnp.zeros((1, n, 4)),
+                        jnp.zeros((1, n, 4)), ())
+
+    members = []
+    for name in ("MSP", "Energy"):
+        m = LogitsOODMethod(name=name)
+        m.thresholds = [0.2] * nc
+        m.min_score = np.full(nc, -5.0)
+        m.max_score = np.full(nc, 5.0)
+        members.append(m)
+
+    for strat in ("and", "or"):
+        fm = FusionOODMethod(methods=members, strategy=strat)
+        scores = np.asarray(_decisions_for_method(fm, out, (4, 4, 4),
+                                                  want_scores=True))
+        assert scores.shape == (1, n)
+        assert np.all(scores >= -1.0) and np.all(scores <= 1.0)
+        # continuous, not {0,1}
+        assert len(np.unique(np.round(scores, 6))) > 2
+        # matches the strategy's continuous analogue of the members
+        mem = np.stack([np.asarray(_decisions_for_method(m, out, (4, 4, 4),
+                                                         want_scores=True))
+                        for m in members])
+        expect = mem.max(0) if strat == "and" else mem.min(0)
+        np.testing.assert_allclose(scores, expect, rtol=1e-6)
