@@ -195,6 +195,7 @@ def _bench_detect_score(name: str, metric: str, batch_sizes):
                 "value": round(ips, 2),
                 "unit": "img/s",
                 "vs_baseline": round(ips / A100_REFERENCE_IMG_PER_SEC, 3),
+                "batch": bsz,
             }))
             return
         except Exception:
@@ -253,6 +254,7 @@ def bench_train_step():
                 "value": round(ips, 2),
                 "unit": "img/s",
                 "vs_baseline": round(ips / 250.0, 3),  # ~A100 v8n train img/s
+                "batch": batch_sz,
             }))
             return
         except Exception:

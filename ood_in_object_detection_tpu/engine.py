@@ -168,8 +168,11 @@ class Detector:
         """
         from .parallel.mesh import batch_sharding, replicated
 
-        ck = ("replicated", mesh)
-        if ck not in self._step_cache:  # replicate weights once per mesh
+        # replicate weights once per (mesh, weight-tree identity) — keying on
+        # id(self.variables) invalidates the cache when a caller swaps in new
+        # weights (checkpoint load, EMA)
+        ck = ("replicated", mesh, id(self.variables))
+        if ck not in self._step_cache:
             self._step_cache[ck] = jax.device_put(self.variables,
                                                   replicated(mesh))
         v = self._step_cache[ck]

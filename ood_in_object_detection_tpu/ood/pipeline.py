@@ -174,13 +174,13 @@ def _all_stride_roi(out: PredictOutput, boxes, valid, img_w):
     Uses the same adaptive-sampling batched RoIAlign as the engine's
     roi_feats (samples=0), so fit-time features match the eval-time features
     the distance thresholds are applied to."""
-    from ..ops.roi_align import _roi_align_1x1_batched_level
+    from ..ops.roi_align import roi_align_1x1_batched_level
 
     feats = []
     bx = out.det.boxes
     for lvl, fmap in enumerate(out.neck):
         scale = fmap.shape[2] / img_w
-        feats.append(_roi_align_1x1_batched_level(fmap, bx, scale, samples=0))
+        feats.append(roi_align_1x1_batched_level(fmap, bx, scale, samples=0))
     return feats
 
 
@@ -189,7 +189,7 @@ def _target_roi_feats(out: PredictOutput, tgt_boxes_xyxy: np.ndarray, img_w,
     """3 x (M, C_s) RoI features of ground-truth boxes on one image
     (target-based InD options, reference ood_utils.py:1655-1720). Adaptive
     sampling, matching the engine's eval-time RoI features."""
-    from ..ops.roi_align import _roi_align_1x1_batched_level
+    from ..ops.roi_align import roi_align_1x1_batched_level
 
     i = image_index if image_index is not None else 0
     b = jnp.asarray(tgt_boxes_xyxy, jnp.float32)
@@ -197,7 +197,7 @@ def _target_roi_feats(out: PredictOutput, tgt_boxes_xyxy: np.ndarray, img_w,
     for fmap in out.neck:
         scale = fmap.shape[2] / img_w
         outs.append(np.asarray(
-            _roi_align_1x1_batched_level(fmap[i][None], b[None], scale,
+            roi_align_1x1_batched_level(fmap[i][None], b[None], scale,
                                          samples=0)[0]))
     return outs
 
@@ -233,12 +233,13 @@ def _decisions_for_method(method, out: PredictOutput, neck_ch,
         if raw:
             raise ValueError("raw scores are per-member; fuse INDness instead "
                              "(fit the pipeline and use want_scores=True)")
-        if want_scores and method.strategy != "score":
+        if want_scores:
             # continuous score for AUROC collection: member INDness combined
             # with the strategy's continuous analogue, matching
             # fuse_decisions' conventions (and -> max, or -> min over InD
-            # decisions; vote -> mean); the boolean fuse would degenerate to
-            # {0,1} "scores"
+            # decisions; score -> the summed INDness its >0 test binarizes;
+            # vote -> mean); the boolean fuse would degenerate to {0,1}
+            # "scores"
             member = [_decisions_for_method(m, out, neck_ch, True)
                       for m in method.methods]
             stacked = jnp.stack(member)
@@ -246,6 +247,8 @@ def _decisions_for_method(method, out: PredictOutput, neck_ch,
                 return jnp.max(stacked, axis=0)
             if method.strategy == "or":
                 return jnp.min(stacked, axis=0)
+            if method.strategy == "score":
+                return jnp.sum(stacked, axis=0)
             return jnp.mean(stacked, axis=0)  # vote
         want_member_scores = method.strategy == "score"
         member = [

@@ -167,7 +167,7 @@ def _axis_weights(lo, span, size: int, samples: int) -> jnp.ndarray:
     return hat.sum(axis=-2) * inv_n
 
 
-def _roi_align_1x1_batched_level(
+def roi_align_1x1_batched_level(
     fmap: jnp.ndarray,        # (B, H, W, C)
     boxes_xyxy: jnp.ndarray,  # (B, N, 4) image pixels
     spatial_scale: float,
@@ -213,7 +213,7 @@ def batched_roi_align_1x1(
     out = None
     for li, f in enumerate(fmaps):
         scale = f.shape[2] / img_w  # width ratio, predict.py:69
-        v = _roi_align_1x1_batched_level(f, boxes_xyxy, scale, samples)
+        v = roi_align_1x1_batched_level(f, boxes_xyxy, scale, samples)
         if v.shape[-1] < cmax:
             v = jnp.pad(v, ((0, 0), (0, 0), (0, cmax - v.shape[-1])))
         out = v if out is None else jnp.where(

@@ -125,11 +125,15 @@ def assign(
     fg_mask = mask_pos.any(axis=1)                                      # (B, A)
     target_gt_idx = jnp.argmax(mask_pos, axis=1).astype(jnp.int32)      # (B, A)
 
-    # per-anchor GT lookup as a one-hot contraction (a take_along_axis here
-    # is B*A row gathers at ~15 ns each — several ms/step; see PERF.md)
-    sel = jax.nn.one_hot(target_gt_idx, M, dtype=gt_bboxes.dtype)       # (B, A, M)
-    tb = jnp.einsum("bam,bmc->bac", sel, gt_bboxes)                     # (B, A, 4)
-    tl = jnp.einsum("bam,bm->ba", sel, gt_lab.astype(sel.dtype)).astype(jnp.int32)
+    # per-anchor GT lookup as a one-hot masked sum (a take_along_axis here
+    # is B*A row gathers at ~15 ns each — several ms/step; see PERF.md).
+    # NOT an einsum: TPU matmuls at default precision truncate f32 operands
+    # to bf16, which would quantize pixel-space target boxes (~2 px at 640)
+    # and round class ids > 256.
+    sel = target_gt_idx[:, :, None] == jnp.arange(M, dtype=jnp.int32)   # (B, A, M)
+    tb = jnp.sum(jnp.where(sel[..., None], gt_bboxes[:, None, :, :], 0.0),
+                 axis=2)                                                # (B, A, 4)
+    tl = jnp.sum(jnp.where(sel, gt_lab[:, None, :], 0), axis=2)         # (B, A)
 
     # normalized soft targets (tal.py:150-176)
     align_pos = jnp.where(mask_pos, align, 0.0)
