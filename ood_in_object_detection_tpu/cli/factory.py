@@ -16,6 +16,7 @@ def build_ood_method(
     fusion_strategy: str = "none",
     temperature_energy: float = 1.0,
     temperature_odin: float = 1000.0,
+    use_values_before_sigmoid: bool = True,
 ):
     if name.startswith("fusion-"):
         parts = name.split("-")[1:]
@@ -26,7 +27,8 @@ def build_ood_method(
         for p in parts:
             cm = cluster_methods[min(ci, len(cluster_methods) - 1)]
             m = build_ood_method(p, cm, cluster_optimization_metric,
-                                 "none", temperature_energy, temperature_odin)
+                                 "none", temperature_energy, temperature_odin,
+                                 use_values_before_sigmoid)
             if isinstance(m, DistanceOODMethod):
                 ci += 1
             members.append(m)
@@ -36,7 +38,8 @@ def build_ood_method(
         return FusionOODMethod(members, strategy=strategy, name=name)
     if name in LOGITS_METHODS:
         temper = {"Energy": temperature_energy, "ODIN": temperature_odin}.get(name, 1.0)
-        return LogitsOODMethod(name, temper=temper)
+        return LogitsOODMethod(name, temper=temper,
+                               use_values_before_sigmoid=use_values_before_sigmoid)
     if name in DISTANCE_METHODS:
         m = DistanceOODMethod.from_name(
             name, cluster_method=cluster_method,

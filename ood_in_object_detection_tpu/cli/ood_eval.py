@@ -66,6 +66,22 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=list(C.AVAILABLE_CLUSTER_OPTIMIZATION_METRICS))
     p.add_argument("--ind_info_creation_option", default="valid_preds_one_stride",
                    choices=C.IND_INFO_CREATION_OPTIONS)
+    p.add_argument("--which_internal_activations", default="roi_aligned_ftmaps",
+                   choices=C.INTERNAL_ACTIVATIONS_EXTRACTION_OPTIONS,
+                   help="activation tap for distance methods (reference"
+                        " ood_evaluation.py:63, constants.py:29)")
+    p.add_argument("--remove_orphans", action="store_true",
+                   help="drop cluster orphans instead of per-orphan clusters"
+                        " (reference ood_evaluation.py:168-170 ->"
+                        " CUSTOM_HYP.clusters.REMOVE_ORPHANS)")
+    p.add_argument("--visualize_clusters", action="store_true",
+                   help="save a 2D PCA scatter of the fitted clusters per class"
+                        " (reference ood_evaluation.py:164-166)")
+    p.add_argument("--use_values_before_sigmoid", action="store_true", default=True)
+    p.add_argument("--no_use_values_before_sigmoid", dest="use_values_before_sigmoid",
+                   action="store_false",
+                   help="score logits methods on post-sigmoid probabilities"
+                        " (reference ood_evaluation.py:67 default True)")
     p.add_argument("--fusion_strategy", default="none", choices=["and", "or", "score", "none"])
     p.add_argument("--enhanced_unk_localization", action="store_true")
     p.add_argument("--visualize_oods", action="store_true",
@@ -98,9 +114,13 @@ def cache_paths(args, method) -> Dict[str, Path]:
     }
 
 
-def load_detector(args) -> Detector:
-    nc = 20 if (args.owod_task_ind == "t1" or not args.owod_task_ind) else \
-        C.UNKNOWN_CLASS_INDEX
+# per-task known-class counts (reference select_number_of_classes_owod,
+# ultralytics/data/dataset.py:1087-1101)
+OWOD_TASK_NC = {"t1": 20, "t2": 40, "t3": 60, "t4": 80, "all_task_test": 80}
+
+
+def load_detector(args, default_nc: int = 20) -> Detector:
+    nc = OWOD_TASK_NC.get(args.owod_task_ind, 0) or default_nc
     if args.model_path:
         from ..core.checkpoint import load_checkpoint
 
@@ -206,21 +226,27 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     logger = log
-    detector = load_detector(args)
+    # hyperparameter switches (reference ood_evaluation.py:163-176)
+    if args.remove_orphans:
+        CUSTOM_HYP.clusters.REMOVE_ORPHANS = True
+    if args.visualize_clusters:
+        CUSTOM_HYP.clusters.VISUALIZE = True
+
+    ind = load_dataset(args, args.ind_dataset, args.ind_split, args.owod_task_ind)
+    detector = load_detector(args, default_nc=ind.number_of_classes)
     method = build_ood_method(
         args.ood_method, args.cluster_method, args.cluster_optimization_metric,
-        args.fusion_strategy, args.temperature_energy, args.temperature_odin)
+        args.fusion_strategy, args.temperature_energy, args.temperature_odin,
+        use_values_before_sigmoid=args.use_values_before_sigmoid)
     from ..ood.methods import DistanceOODMethod
     from ..ood.pipeline import _leaf_methods
 
     for m in _leaf_methods(method):
         if isinstance(m, DistanceOODMethod):
             m.ind_info_creation_option = args.ind_info_creation_option
-            if getattr(args, "which_internal_activations", None) in (
-                    "ftmaps_and_strides_exact_pos",):
+            if args.which_internal_activations in C.FTMAPS_RELATED_OPTIONS:
                 m.which_internal_activations = args.which_internal_activations
 
-    ind = load_dataset(args, args.ind_dataset, args.ind_split, args.owod_task_ind)
     ind_batches = list(PaddedBatcher(ind, args.batch_size, args.img_size))
     if args.which_split == "train_val":
         val = load_dataset(args, args.ind_dataset, "val", args.owod_task_ind)

@@ -333,6 +333,23 @@ def load_and_letterbox_into(label: Label, dst_f32: np.ndarray, img_size: int):
     return _boxes_to_letterboxed_xyxy(label, ratio_pad), ratio_pad
 
 
+_POOLS: Dict[int, "object"] = {}
+_POOLS_LOCK = threading.Lock()
+
+
+def _shared_pool(workers: int):
+    """Process-wide decode pool shared by every PaddedBatcher with the same
+    worker count — per-instance pools would leak their threads for the process
+    lifetime each time a CLI constructs a batcher per split/epoch."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with _POOLS_LOCK:
+        pool = _POOLS.get(workers)
+        if pool is None:
+            pool = _POOLS[workers] = ThreadPoolExecutor(max_workers=workers)
+        return pool
+
+
 class PaddedBatcher:
     """Iterate fixed-shape batches:
     images (B,S,S,3) f32 in [0,1]; gt_bboxes (B,M,4) xyxy letterboxed pixels;
@@ -391,11 +408,7 @@ class PaddedBatcher:
             names[j] = Path(lb.im_file).stem
 
         if self.workers > 1 and B > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            if getattr(self, "_pool", None) is None:
-                self._pool = ThreadPoolExecutor(max_workers=self.workers)
-            list(self._pool.map(fill, range(B)))
+            list(_shared_pool(self.workers).map(fill, range(B)))
         else:
             for j in range(B):
                 fill(j)

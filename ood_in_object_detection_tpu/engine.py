@@ -168,14 +168,16 @@ class Detector:
         """
         from .parallel.mesh import batch_sharding, replicated
 
-        # replicate weights once per (mesh, weight-tree identity) — keying on
-        # id(self.variables) invalidates the cache when a caller swaps in new
-        # weights (checkpoint load, EMA)
-        ck = ("replicated", mesh, id(self.variables))
-        if ck not in self._step_cache:
-            self._step_cache[ck] = jax.device_put(self.variables,
-                                                  replicated(mesh))
-        v = self._step_cache[ck]
+        # replicate weights once per (mesh, weight-tree identity). A single
+        # entry holding a strong reference to the source tree: identity
+        # comparison is safe (no id() reuse after GC), swapping in new
+        # weights (checkpoint load, EMA) evicts the previous on-device copy.
+        cached = self._step_cache.get("replicated")
+        if cached is None or cached[0] is not mesh or cached[1] is not self.variables:
+            cached = (mesh, self.variables,
+                      jax.device_put(self.variables, replicated(mesh)))
+            self._step_cache["replicated"] = cached
+        v = cached[2]
         x = jax.device_put(images, batch_sharding(mesh))
         return self.predict_fn(conf_thres=conf_thres, **kw)(v, x)
 

