@@ -90,6 +90,12 @@ def detection_loss(
         gt_mask,
         topk=assign_topk,
     )
+    # the reference assigner runs under @torch.no_grad() (utils/tal.py:40):
+    # targets are constants wrt the prediction — without this the backward
+    # pass carries large extra terms through the alignment metric and every
+    # parameter's gradient deviates from the reference (loss VALUES match,
+    # gradients do not)
+    res = jax.lax.stop_gradient(res)
 
     target_scores_sum = jnp.maximum(res.target_scores.sum(), 1.0)
 

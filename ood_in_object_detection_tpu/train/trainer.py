@@ -3,10 +3,17 @@
 Capability parity with the reference trainer (ultralytics/engine/trainer.py +
 utils/torch_utils.py ModelEMA):
 
-- SGD momentum=0.937, nesterov, weight decay 5e-4 on conv/linear weights only
-  (trainer.py build_optimizer; decay excluded for bias/BN as in torch_utils)
-- 3-epoch linear warmup (momentum 0.8 -> 0.937, lr from warmup_bias_lr),
-  then linear decay lr0 -> lr0*lrf over epochs (trainer.py _setup_scheduler)
+- SGD momentum=0.937, nesterov, weight decay 5e-4 on conv/linear weights only,
+  in the reference's three parameter groups (trainer.py:796-846
+  build_optimizer): biases (no decay, warmup from warmup_bias_lr), norm
+  scales (no decay), >=2D kernels (decay)
+- per-epoch staircase LR lr0*lf(epoch) with lf linear (or one_cycle cosine)
+  (trainer.py:219-225 _setup_scheduler), plus the per-iteration warmup over
+  nw = max(round(warmup_epochs*nb), 100) iters (trainer.py:336,375-386):
+  bias lr falls warmup_bias_lr -> lr0*lf(epoch), other lrs rise 0 -> same,
+  momentum rises warmup_momentum(0.8) -> momentum(0.937)
+- (deviation) the reference also ramps gradient accumulation toward
+  nbs/batch_size during warmup (trainer.py:380); we step every batch
 - EMA decay 0.9999 with ramp d = decay*(1 - exp(-updates/2000))
   (torch_utils.py ModelEMA)
 - DDP -> jit over a ("data","model") mesh: gradients are reduced by XLA
@@ -39,6 +46,7 @@ class TrainConfig:
     weight_decay: float = 5e-4
     warmup_epochs: float = 3.0
     warmup_momentum: float = 0.8
+    warmup_bias_lr: float = 0.1
     epochs: int = 100
     steps_per_epoch: int = 100
     box_gain: float = 7.5
@@ -53,36 +61,83 @@ class TrainConfig:
     freeze_prefixes: tuple = ()
 
 
+def _warmup_iters(cfg: TrainConfig) -> int:
+    """nw = max(round(warmup_epochs * nb), 100) (reference trainer.py:336)."""
+    if cfg.warmup_epochs <= 0:
+        return -1
+    return max(round(cfg.warmup_epochs * cfg.steps_per_epoch), 100)
+
+
+def _lf(cfg: TrainConfig, epoch):
+    """Per-epoch LR fraction (reference _setup_scheduler, trainer.py:219-225):
+    linear max(1 - e/epochs, 0)*(1-lrf)+lrf, or one_cycle cosine 1 -> lrf."""
+    e = jnp.asarray(epoch, jnp.float32)
+    if cfg.cos_lr:
+        return ((1 - jnp.cos(e * jnp.pi / cfg.epochs)) / 2) * (cfg.lrf - 1) + 1
+    return jnp.maximum(1 - e / cfg.epochs, 0.0) * (1.0 - cfg.lrf) + cfg.lrf
+
+
+def _hyper_at(cfg: TrainConfig, step):
+    """(lr_bias, lr_rest, momentum) at 0-based iteration `step`, replicating
+    the reference's in-loop np.interp warmup (trainer.py:375-386) on top of
+    the per-epoch staircase base LR."""
+    step = jnp.asarray(step, jnp.float32)
+    epoch = jnp.floor(step / cfg.steps_per_epoch)
+    base = cfg.lr0 * _lf(cfg, epoch)
+    nw = _warmup_iters(cfg)
+    if nw < 0:
+        return base, base, jnp.asarray(cfg.momentum, jnp.float32)
+    t = jnp.clip(step / nw, 0.0, 1.0)
+    lr_rest = t * base
+    lr_bias = cfg.warmup_bias_lr + t * (base - cfg.warmup_bias_lr)
+    mom = cfg.warmup_momentum + t * (cfg.momentum - cfg.warmup_momentum)
+    return lr_bias, lr_rest, mom
+
+
 def lr_schedule(cfg: TrainConfig) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    warmup_steps = max(round(cfg.warmup_epochs * cfg.steps_per_epoch), 100)
-    total_steps = cfg.epochs * cfg.steps_per_epoch
-
-    def fn(step):
-        frac_epoch = step / cfg.steps_per_epoch
-        if cfg.cos_lr:
-            decay = cfg.lrf + 0.5 * (1 - cfg.lrf) * (
-                1 + jnp.cos(jnp.pi * jnp.minimum(frac_epoch / cfg.epochs, 1.0))
-            )
-        else:
-            decay = jnp.maximum(1 - frac_epoch / cfg.epochs, 0.0) * (1.0 - cfg.lrf) + cfg.lrf
-        base = cfg.lr0 * decay
-        warm = jnp.clip((step + 1.0) / warmup_steps, 0.0, 1.0)  # step 0 nonzero
-        return base * warm
-
-    del total_steps
-    return fn
+    """Non-bias-group LR at an iteration index (for logging/inspection)."""
+    return lambda step: _hyper_at(cfg, step)[1]
 
 
-def _decay_mask(params):
-    """Weight decay only on >=2D kernels (reference build_optimizer g[0])."""
-    return jax.tree.map(lambda p: p.ndim >= 2, params)
+def _is_bias(path) -> bool:
+    """Reference group g[2]: every param whose full name contains 'bias'
+    (build_optimizer, trainer.py:826-835) — conv/head biases and norm biases."""
+    name = str(getattr(path[-1], "key", path[-1]))
+    return name == "bias"
+
+
+def reference_sgd(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Nesterov SGD with the reference's 3 param groups and warmup schedules:
+    decay on >=2D kernels only (g[0]), bias group warms from warmup_bias_lr,
+    momentum warms 0.8 -> 0.937 per iteration. Semantics match torch.optim.SGD
+    (decayed grad enters the momentum buffer; nesterov update g + mu*buf)."""
+
+    def init_fn(params):
+        return (jnp.zeros((), jnp.int32), jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(grads, state, params):
+        count, trace = state
+        lr_bias, lr_rest, mom = _hyper_at(cfg, count)
+
+        def decayed(path, g, p):
+            if not _is_bias(path) and p.ndim >= 2:
+                return g + cfg.weight_decay * p
+            return g
+
+        new_trace = jax.tree_util.tree_map_with_path(
+            lambda path, g, t, p: mom * t + decayed(path, g, p),
+            grads, trace, params)
+        updates = jax.tree_util.tree_map_with_path(
+            lambda path, g, t, p: -(lr_bias if _is_bias(path) else lr_rest)
+            * (decayed(path, g, p) + mom * t),
+            grads, new_trace, params)
+        return updates, (count + 1, new_trace)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def make_optimizer(cfg: TrainConfig):
-    tx = optax.chain(
-        optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask),
-        optax.sgd(learning_rate=lr_schedule(cfg), momentum=cfg.momentum, nesterov=True),
-    )
+    tx = reference_sgd(cfg)
     if cfg.freeze_prefixes:
         # Frozen leaves must get a ZERO update, not a pass-through:
         # optax.masked leaves unmasked leaves equal to their raw gradient,

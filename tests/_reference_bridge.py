@@ -113,9 +113,13 @@ def build_reference_model(name: str, nc: int = 80, randomize: bool = True,
 
 
 def numpy_state_dict(tm):
+    """Materialised copies: ``.float().numpy()`` on an f32 tensor ALIASES the
+    live torch storage (and jnp.asarray on CPU can zero-copy it), so without
+    the .copy() a later ``opt.step()`` on the torch side silently mutates the
+    'imported' flax weights (discovered via the train-step parity test)."""
     import numpy as np
 
-    return {k: v.float().numpy() for k, v in tm.state_dict().items()}
+    return {k: v.detach().float().numpy().copy() for k, v in tm.state_dict().items()}
 
 
 def reference_forward(tm, x_nchw):
