@@ -370,6 +370,9 @@ class YOLODetector(nn.Module):
     max_channels: int = 512
     head_style: str = "v8"
     attn_residual: bool = False  # yolo12 l/x: A2C2f residual=True, mlp_ratio=1.2
+    # yolo11/12 m/l/x: every C3k2 runs with c3k=True regardless of its spec
+    # arg (reference nn/tasks.py:1495-1497 flips args[3] for scale in "mlx")
+    c3k_force: bool = False
     # Space-to-depth stem rewrite (exact; layers.StemConv). Off by default:
     # measured on v5e, the 640x3 f32 input relayout costs more than the
     # better-shaped conv saves (19.8 -> 22.3 ms/batch32). Revisit with a
@@ -468,7 +471,7 @@ class YOLODetector(nn.Module):
                 x = L.C2f(c, n, shortcut, dtype=dt, name=name)(inp, train)
             elif mod == "C3k2":
                 c = self._ch(args[0])
-                c3k = args[1] if len(args) > 1 else False
+                c3k = self.c3k_force or (args[1] if len(args) > 1 else False)
                 e = args[2] if len(args) > 2 else 0.5
                 x = L.C3k2(c, n, c3k=c3k, e=e, dtype=dt, name=name)(inp, train)
             elif mod == "A2C2f":
@@ -498,8 +501,11 @@ class YOLODetector(nn.Module):
                 c = self._ch(args[0])
                 x = L.PSA(c, dtype=dt, name=name)(inp, train)
             elif mod == "RepNCSPELAN4":
+                # only args[0] is width-scaled/rounded by the reference parser
+                # (nn/tasks.py parse_model: c2 = make_divisible(...), the rest
+                # pass through raw — v9m's c4=180 must NOT round to 184)
                 c2, c3, c4, nrep = args
-                x = L.RepNCSPELAN4(self._ch(c2), self._ch(c3), self._ch(c4), nrep, dtype=dt, name=name)(inp, train)
+                x = L.RepNCSPELAN4(self._ch(c2), c3, c4, nrep, dtype=dt, name=name)(inp, train)
             elif mod == "ADown":
                 c = self._ch(args[0])
                 x = L.ADown(c, dtype=dt, name=name)(inp, train)
@@ -507,12 +513,12 @@ class YOLODetector(nn.Module):
                 c = self._ch(args[0])
                 x = L.AConv(c, dtype=dt, name=name)(inp, train)
             elif mod == "ELAN1":
-                c2, c3, c4 = args
-                x = L.ELAN1(self._ch(c2), self._ch(c3), self._ch(c4),
+                c2, c3, c4 = args  # c3/c4 raw (see RepNCSPELAN4 note)
+                x = L.ELAN1(self._ch(c2), c3, c4,
                             dtype=dt, name=name)(inp, train)
             elif mod == "SPPELAN":
-                c2, c3 = args
-                x = L.SPPELAN(self._ch(c2), self._ch(c3), dtype=dt, name=name)(inp, train)
+                c2, c3 = args  # c3 raw (see RepNCSPELAN4 note)
+                x = L.SPPELAN(self._ch(c2), c3, dtype=dt, name=name)(inp, train)
             elif mod == "Upsample":
                 x = L.upsample2x(inp)
             elif mod == "Identity":
@@ -577,6 +583,8 @@ def build_model(name: str, nc: int = 80, dtype: Any = jnp.float32) -> YOLODetect
                 max_channels=max_ch,
                 head_style=head_style,
                 attn_residual=(family == "yolo12" and size in ("l", "x")),
+                c3k_force=(family in ("yolo11", "yolo12")
+                           and size in ("m", "l", "x")),
                 # v10 is an end2end architecture: the one2one branch is the
                 # inference path and one2many trains alongside (reference
                 # head.py:88-107 forward_end2end); both heads always exist in

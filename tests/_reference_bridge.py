@@ -122,6 +122,27 @@ def numpy_state_dict(tm):
     return {k: v.detach().float().numpy().copy() for k, v in tm.state_dict().items()}
 
 
+def reference_head_inputs(tm, x_nchw):
+    """The neck maps actually feeding the Detect head (module.f of the last
+    layer), captured with forward hooks. Used for v9e, where the reference's
+    hardcoded tap indices [15,18,21] (nn/tasks.py:185-187) land on stride-2/4/8
+    backbone layers — out of place on the 40+-layer e-scale spec — so the
+    armed-extraction taps are not a meaningful golden reference there."""
+    import torch
+
+    head = tm.model[-1]
+    feats = {}
+    handles = []
+    for i in head.f:
+        handles.append(tm.model[i].register_forward_hook(
+            lambda mod, inp, out, i=i: feats.__setitem__(i, out.detach())))
+    with torch.no_grad():
+        tm(torch.from_numpy(x_nchw))
+    for h in handles:
+        h.remove()
+    return [feats[i].numpy() for i in head.f]
+
+
 def reference_forward(tm, x_nchw):
     """Run the reference forward; returns (boxes_xywh, logits_presigmoid,
     raw_levels, neck_taps) as numpy in our conventions (B, A, ...) / NCHW raw."""

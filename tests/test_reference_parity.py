@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from _reference_bridge import (
-    build_reference_model, numpy_state_dict, reference_available,
+    REF_YAML, build_reference_model, numpy_state_dict, reference_available,
     reference_forward,
 )
 from ood_in_object_detection_tpu.models import build_model, model_forward
@@ -29,10 +29,12 @@ pytestmark = pytest.mark.skipif(
     not reference_available(), reason="/root/reference not present"
 )
 
-# one representative (smallest) scale per family: scales share the layer
-# topology, differing only in depth/width multiples already covered by
-# test_all_models_build shape checks
-FAMILIES = ["yolov8n", "yolov9t", "yolov10n", "yolo11n", "yolo12n"]
+# EVERY vendored reference YAML, covering the topologically distinct scales:
+# the paper benchmarks l-scales, v9e adds the CBLinear/CBFuse reversible
+# branch that exists only at e-scale, and v9c/v10l vary block placement.
+# n/t scales run at 64 px; larger scales at 128 px (deeper strides need it).
+FAMILIES = sorted(REF_YAML)
+_PARITY_SIZE = {name: (64 if name[-1] in "nt" else 128) for name in FAMILIES}
 
 
 def _import_into_flax(name, tm, nc=80):
@@ -62,7 +64,8 @@ def test_forward_parity(name):
               if k not in used and "num_batches" not in k and ".dfl." not in k]
     assert not unused, f"{len(unused)} torch keys unused: {unused[:5]}"
 
-    x = np.random.default_rng(0).uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    size = _PARITY_SIZE[name]
+    x = np.random.default_rng(0).uniform(0, 1, (1, 3, size, size)).astype(np.float32)
     t_boxes, t_logits, t_raw, t_taps = reference_forward(tm, x)
     out = model_forward(fm, variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
 
@@ -74,6 +77,15 @@ def test_forward_parity(name):
                                atol=5e-3, err_msg="decoded boxes")
     np.testing.assert_allclose(np.asarray(out["cls_logits"]), t_logits,
                                atol=2e-4, err_msg="pre-sigmoid logits")
+    if name == "yolov9e":
+        # documented deviation: the reference's hardcoded tap indices
+        # [15,18,21] (nn/tasks.py:185-187) fall on stride-2/4/8 BACKBONE
+        # layers for the 40+-layer e-scale spec, which would break the
+        # stride-routed RoIAlign downstream; we tap the semantic neck
+        # P3/P4/P5 — verified here against the torch head's real inputs
+        from _reference_bridge import reference_head_inputs
+
+        t_taps = reference_head_inputs(tm, x)
     for i in range(3):
         ours = np.asarray(out["neck_feats"][i]).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(ours, t_taps[i], atol=2e-4,
