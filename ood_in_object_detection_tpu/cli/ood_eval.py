@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="score logits methods on post-sigmoid probabilities"
                         " (reference ood_evaluation.py:67 default True)")
     p.add_argument("--fusion_strategy", default="none", choices=["and", "or", "score", "none"])
+    p.add_argument("--dump_fusion_scores", default="",
+                   help="after fitting a fusion method, save per-box member"
+                        " INDness + fused decisions on the first OoD dataset"
+                        " to this .npz (consumed by process_results"
+                        " --fusion_npz; reference score_fusion_plot.ipynb)")
     p.add_argument("--enhanced_unk_localization", action="store_true")
     p.add_argument("--visualize_oods", action="store_true",
                    help="render first batches with OoD verdicts (reference"
@@ -259,6 +264,20 @@ def main(argv=None) -> None:
         return
 
     configure_ind(args, detector, method, ind_batches, logger)
+    if args.dump_fusion_scores:
+        from ..ood.methods import FusionOODMethod
+        from ..ood.pipeline import collect_fusion_member_indness
+
+        assert isinstance(method, FusionOODMethod), \
+            "--dump_fusion_scores needs a fusion-... method"
+        ds = load_dataset(args, args.ood_datasets[0], args.ood_split,
+                          args.owod_task_ood)
+        data = collect_fusion_member_indness(
+            detector, PaddedBatcher(ds, args.batch_size, args.img_size),
+            method, conf_thr_test=args.conf_thr_test)
+        Path(args.dump_fusion_scores).parent.mkdir(parents=True, exist_ok=True)
+        np.savez(args.dump_fusion_scores, **data)
+        logger.info("fusion member scores -> %s", args.dump_fusion_scores)
     rows = run_eval(args, detector, method, logger)
     out = append_results(rows, C.RESULTS_PATH, args.name)
     logger.info("results written to %s", out)

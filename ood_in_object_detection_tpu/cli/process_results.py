@@ -56,8 +56,52 @@ def pareto_front(df: pd.DataFrame, mx: str, my: str) -> pd.DataFrame:
     return sub.iloc[keep].sort_values(mx)
 
 
+def fusion_scatter(npz_path: str, out_path: str) -> str:
+    """Score-fusion analysis figure (reference score_fusion_plot.ipynb): the
+    INDness of fusion member A against member B per detected box, colored by
+    the fused verdict, with the INDness=0 decision boundaries splitting the
+    plane into quadrants. Input: .npz from
+    ood.pipeline.collect_fusion_member_indness (or ood_eval
+    --dump_fusion_scores)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    data = np.load(npz_path, allow_pickle=False)
+    ind = data["indness"]
+    names = [str(n) for n in data["member_names"]]
+    dec = data["decision"].astype(bool)
+    assert ind.shape[0] >= 2, "fusion scatter needs >= 2 members"
+    a, b = ind[0], ind[1]
+    fig, ax = plt.subplots(figsize=(6.5, 6))
+    ax.scatter(a[dec], b[dec], s=14, c="#1f6f43", alpha=0.65,
+               label=f"fused InD (n={int(dec.sum())})")
+    ax.scatter(a[~dec], b[~dec], s=14, c="#b23a48", alpha=0.65, marker="x",
+               label=f"fused OoD (n={int((~dec).sum())})")
+    ax.axhline(0.0, color="k", lw=1, ls="--")
+    ax.axvline(0.0, color="k", lw=1, ls="--")
+    ax.set_xlim(-1.05, 1.05)
+    ax.set_ylim(-1.05, 1.05)
+    ax.set_xlabel(f"INDness — {names[0]}")
+    ax.set_ylabel(f"INDness — {names[1]}")
+    ax.set_title("Score fusion: member INDness with decision quadrants")
+    ax.legend(loc="lower right", fontsize=8)
+    fig.tight_layout()
+    Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--fusion_npz", default=None,
+                    help="render the score-fusion member scatter from a "
+                         ".npz (collect_fusion_member_indness) and exit")
+    ap.add_argument("--fusion_out", default=None,
+                    help="output PNG for --fusion_npz "
+                         "(default: <npz dir>/fusion_scatter.png)")
     ap.add_argument("--results_dir", default="results")
     ap.add_argument("--out_dir", default=None)
     ap.add_argument("--metric_x", default="mAP_(VOC_test)")
@@ -67,6 +111,12 @@ def main(argv=None):
                          "(default: metric_y)")
     ap.add_argument("--no_plot", action="store_true")
     args = ap.parse_args(argv)
+
+    if args.fusion_npz:
+        out = args.fusion_out or str(Path(args.fusion_npz).with_name(
+            "fusion_scatter.png"))
+        print(f"fusion scatter -> {fusion_scatter(args.fusion_npz, out)}")
+        return 0
 
     out_dir = Path(args.out_dir or (Path(args.results_dir) / "processed"))
     out_dir.mkdir(parents=True, exist_ok=True)

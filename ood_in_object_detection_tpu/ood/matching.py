@@ -38,7 +38,15 @@ def match_predictions_to_targets(
     tgt_cls: np.ndarray,      # (M,)
     iou_threshold: float,
 ) -> List[int]:
-    """Indices of valid predictions (reference's ``valid_preds``)."""
+    """Indices of valid predictions (reference's ``valid_preds``).
+
+    NOTE the reference indexes the score matrix with the ENUMERATION index of
+    assignment[1], not the assignment's row index (ood_utils.py:291-292:
+    ``for i, assigment in enumerate(assignment[1]): score_matrix[i, assigment]``).
+    With more predictions than targets scipy returns a row subset, so the
+    checked pairs are (0..k-1, col_j) rather than (row_j, col_j). We replicate
+    this exactly — valid_preds is the contract the InD activations are built
+    on; when n <= m both formulations coincide."""
     n, m = len(pred_boxes), len(tgt_boxes)
     if n == 0 or m == 0:
         return []
@@ -46,7 +54,7 @@ def match_predictions_to_targets(
     score = score * (pred_cls[:, None] == tgt_cls[None, :])
     rows, cols = linear_sum_assignment(score, maximize=True)
     valid = []
-    for r, c in zip(rows, cols):
-        if score[r, c] > iou_threshold:
-            valid.append(int(r))
+    for i, c in enumerate(cols):
+        if score[i, c] > iou_threshold:
+            valid.append(int(i))
     return sorted(valid)

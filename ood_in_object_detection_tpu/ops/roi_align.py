@@ -28,15 +28,19 @@ import jax.numpy as jnp
 def _bilinear_at(fmap: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Sample fmap (H, W, C) at continuous coords x, y (...,) -> (..., C).
 
-    torchvision convention (aligned=False): pixel i covers [i, i+1), sample
-    coordinate maps to pixel space as coord - 0.5, then is clamped into
-    [0, size-1] (torchvision bilinear_interpolate sets ``y = 0`` for y <= 0
-    and uses y_high = y_low for y >= size-1; coords below -1/above size are
-    zeroed there, which cannot happen for boxes inside the image).
+    torchvision convention (aligned=False): the sample coordinate is used
+    DIRECTLY as a fractional pixel index (pixel centers at integer coords —
+    the well-known half-pixel bias that aligned=True compensates; the
+    reference calls roi_align with aligned=False, predict.py:64-70), clamped
+    into [0, size-1] (torchvision bilinear_interpolate sets ``y = 0`` for
+    y <= 0 and y_high = y_low for y >= size-1; coords below -1/above size
+    are zeroed there, which cannot happen for boxes inside the image).
+    Cross-executed against the reference's own extractor in
+    tests/test_reference_pipeline_parity.py.
     """
     h, w, _ = fmap.shape
-    xs = jnp.clip(x - 0.5, 0.0, w - 1.0)
-    ys = jnp.clip(y - 0.5, 0.0, h - 1.0)
+    xs = jnp.clip(x, 0.0, w - 1.0)
+    ys = jnp.clip(y, 0.0, h - 1.0)
     x0 = jnp.floor(xs)
     y0 = jnp.floor(ys)
     dx = xs - x0
@@ -64,6 +68,7 @@ def roi_align_1x1_single_level(
     boxes_xyxy: jnp.ndarray,  # (N, 4) in *image* pixels
     spatial_scale: float,
     samples: int = 4,
+    smax: int = None,
 ) -> jnp.ndarray:
     """Average of bilinear taps over each box -> (N, C).
 
@@ -79,10 +84,11 @@ def roi_align_1x1_single_level(
     if samples == 0:
         import numpy as np
 
+        cap = ADAPTIVE_SMAX if smax is None else smax
         outs = []
         for i in range(b.shape[0]):
-            sx = int(min(ADAPTIVE_SMAX, np.ceil(float(bw[i]))))
-            sy = int(min(ADAPTIVE_SMAX, np.ceil(float(bh[i]))))
+            sx = int(min(cap, max(np.ceil(float(bw[i])), 1)))
+            sy = int(min(cap, max(np.ceil(float(bh[i])), 1)))
             tx = (jnp.arange(sx, dtype=jnp.float32) + 0.5) / sx
             ty = (jnp.arange(sy, dtype=jnp.float32) + 0.5) / sy
             gx = x1[i] + tx * bw[i]
@@ -107,6 +113,7 @@ def roi_align_1x1_multi_level(
     level_idx: jnp.ndarray,            # (N,) int32 in [0, L)
     img_w: int,
     samples: int = 4,
+    smax: int = None,
 ) -> jnp.ndarray:
     """RoI features routed per box to its prediction level -> (N, Cmax).
 
@@ -118,7 +125,7 @@ def roi_align_1x1_multi_level(
     feats = []
     for f in fmaps:
         scale = f.shape[1] / img_w  # width ratio, predict.py:69
-        v = roi_align_1x1_single_level(f, boxes_xyxy, scale, samples)
+        v = roi_align_1x1_single_level(f, boxes_xyxy, scale, samples, smax)
         if v.shape[-1] < cmax:
             v = jnp.pad(v, ((0, 0), (0, cmax - v.shape[-1])))
         feats.append(v)
@@ -131,32 +138,37 @@ def roi_align_1x1_multi_level(
 ADAPTIVE_SMAX = 16
 
 
-def _axis_weights(lo, span, size: int, samples: int) -> jnp.ndarray:
+def _axis_weights(lo, span, size: int, samples: int,
+                  smax: int = None) -> jnp.ndarray:
     """Accumulated, mean-normalized bilinear weights of a uniform axis sample
     grid onto the integer pixel grid -> (..., size).
 
     A bilinear tap at continuous coordinate u spreads hat weights
-    max(0, 1-|u - p|) over pixels p; border clamping (both corner indices
-    clipped into range) is equivalent to clamping u into [0, size-1] first.
-    Summing the hats of all S samples (already divided by S) gives the axis
-    weight vector; the 2D sample grid is the outer product of the two axis
-    grids, so the 1x1 RoIAlign average is (wy ⊗ wx) contracted with the map.
+    max(0, 1-|u - p|) over pixels p; sample coordinates index the pixel grid
+    directly (torchvision aligned=False — see _bilinear_at), and border
+    clamping (both corner indices clipped into range) is equivalent to
+    clamping u into [0, size-1] first. Summing the hats of all S samples
+    (already divided by S) gives the axis weight vector; the 2D sample grid
+    is the outer product of the two axis grids, so the 1x1 RoIAlign average
+    is (wy ⊗ wx) contracted with the map.
 
     samples > 0: fixed S (torchvision sampling_ratio=S).
     samples == 0: torchvision's adaptive default (sampling_ratio<=0):
-    S = ceil(span) per box, evaluated with a static ADAPTIVE_SMAX-sample
-    grid masked down to S — exact for spans <= ADAPTIVE_SMAX."""
+    S = ceil(span) per box, evaluated with a static smax-sample grid masked
+    down to S — exact for spans <= smax. smax defaults to ADAPTIVE_SMAX
+    (the engine's routed-stride path never sees larger spans); the offline
+    all-stride extraction passes a larger cap (advisor r2 #2)."""
     if samples > 0:
         t = (jnp.arange(samples, dtype=jnp.float32) + 0.5) / samples
-        u = lo[..., None] + t * span[..., None] - 0.5      # (..., S)
+        u = lo[..., None] + t * span[..., None]            # (..., S)
         inv_n = 1.0 / samples
         mask = None
     else:
-        smax = ADAPTIVE_SMAX
+        smax = ADAPTIVE_SMAX if smax is None else smax
         n = jnp.clip(jnp.ceil(span), 1.0, float(smax))     # (...,)
         s = jnp.arange(smax, dtype=jnp.float32)
         t = (s + 0.5) / n[..., None]                       # (..., Smax)
-        u = lo[..., None] + t * span[..., None] - 0.5
+        u = lo[..., None] + t * span[..., None]
         inv_n = (1.0 / n)[..., None]
         mask = s < n[..., None]
     u = jnp.clip(u, 0.0, size - 1.0)
@@ -172,6 +184,7 @@ def roi_align_1x1_batched_level(
     boxes_xyxy: jnp.ndarray,  # (B, N, 4) image pixels
     spatial_scale: float,
     samples: int = 4,
+    smax: int = None,
 ) -> jnp.ndarray:
     """Batched single-level 1x1 RoIAlign as one MXU matmul -> (B, N, C).
 
@@ -188,8 +201,8 @@ def roi_align_1x1_batched_level(
     # torchvision: roi width/height floored at 1 (aligned=False)
     bw = jnp.maximum(x2 - x1, 1.0)
     bh = jnp.maximum(y2 - y1, 1.0)
-    wx = _axis_weights(x1, bw, w, samples)                 # (B, N, W)
-    wy = _axis_weights(y1, bh, h, samples)                 # (B, N, H)
+    wx = _axis_weights(x1, bw, w, samples, smax)           # (B, N, W)
+    wy = _axis_weights(y1, bh, h, samples, smax)           # (B, N, H)
     q = (wy[..., :, None] * wx[..., None, :]).reshape(b, n, h * w)
     q = q.astype(fmap.dtype)
     flat = fmap.reshape(b, h * w, c)
@@ -204,6 +217,7 @@ def batched_roi_align_1x1(
     level_idx: jnp.ndarray,        # (B, N)
     img_w: int,
     samples: int = 4,
+    smax: int = None,
 ) -> jnp.ndarray:
     """Per-box level-routed 1x1 RoIAlign -> (B, N, Cmax), zero-padded to the
     widest level. Values match roi_align_1x1_multi_level exactly (same taps);
@@ -213,7 +227,7 @@ def batched_roi_align_1x1(
     out = None
     for li, f in enumerate(fmaps):
         scale = f.shape[2] / img_w  # width ratio, predict.py:69
-        v = roi_align_1x1_batched_level(f, boxes_xyxy, scale, samples)
+        v = roi_align_1x1_batched_level(f, boxes_xyxy, scale, samples, smax)
         if v.shape[-1] < cmax:
             v = jnp.pad(v, ((0, 0), (0, 0), (0, cmax - v.shape[-1])))
         out = v if out is None else jnp.where(

@@ -37,8 +37,13 @@ def install_shim():
     tv.__version__ = "0.18.0"
     tv.__path__ = []  # mark as package so torchvision.transforms resolves
     ops = types.ModuleType("torchvision.ops")
-    ops.nms = lambda *a, **k: None
-    ops.roi_align = lambda *a, **k: None
+    # REAL implementations from the start: `from torchvision.ops import
+    # roi_align` in the reference binds at import time, so a placeholder
+    # installed first would silently survive an install_full_shim upgrade
+    # (caught as test-order-dependent parity failures)
+    ops.nms = tv_nms
+    ops.roi_align = tv_roi_align
+    ops.box_iou = tv_box_iou
     tf = types.ModuleType("torchvision.transforms")
     tf.Compose = lambda *a, **k: None
     tf.ToTensor = lambda *a, **k: None
@@ -48,6 +53,173 @@ def install_shim():
         sys.modules[n] = m
     sys.path.insert(0, str(REFERENCE))
     _installed = True
+
+
+def tv_nms(boxes, scores, iou_threshold):
+    """Real torchvision.ops.nms semantics (greedy by descending score,
+    suppress IoU > threshold) so the reference's non_max_suppression_old
+    (utils/ops.py:348-533) is executable as a golden oracle."""
+    import torch
+
+    b = boxes.detach().cpu()
+    s = scores.detach().cpu()
+    order = torch.argsort(s, descending=True, stable=True)
+    keep = []
+    suppressed = torch.zeros(len(b), dtype=torch.bool)
+    areas = (b[:, 2] - b[:, 0]).clamp(min=0) * (b[:, 3] - b[:, 1]).clamp(min=0)
+    for oi in order.tolist():
+        if suppressed[oi]:
+            continue
+        keep.append(oi)
+        x1 = torch.maximum(b[oi, 0], b[:, 0])
+        y1 = torch.maximum(b[oi, 1], b[:, 1])
+        x2 = torch.minimum(b[oi, 2], b[:, 2])
+        y2 = torch.minimum(b[oi, 3], b[:, 3])
+        inter = (x2 - x1).clamp(min=0) * (y2 - y1).clamp(min=0)
+        iou = inter / (areas[oi] + areas - inter).clamp(min=1e-12)
+        suppressed |= iou > iou_threshold
+    return torch.tensor(keep, dtype=torch.long)
+
+
+def tv_box_iou(a, b):
+    import torch
+
+    a, b = a.detach().float(), b.detach().float()
+    area_a = (a[:, 2] - a[:, 0]).clamp(min=0) * (a[:, 3] - a[:, 1]).clamp(min=0)
+    area_b = (b[:, 2] - b[:, 0]).clamp(min=0) * (b[:, 3] - b[:, 1]).clamp(min=0)
+    x1 = torch.maximum(a[:, None, 0], b[None, :, 0])
+    y1 = torch.maximum(a[:, None, 1], b[None, :, 1])
+    x2 = torch.minimum(a[:, None, 2], b[None, :, 2])
+    y2 = torch.minimum(a[:, None, 3], b[None, :, 3])
+    inter = (x2 - x1).clamp(min=0) * (y2 - y1).clamp(min=0)
+    return inter / (area_a[:, None] + area_b[None, :] - inter).clamp(min=1e-12)
+
+
+def _bilinear(ft, y, x):
+    """torchvision ROIAlign bilinear_interpolate (C++ ROIAlign_cpu):
+    coordinates outside (-1, size) contribute 0, else clamped to borders."""
+    import numpy as np
+
+    C, H, W = ft.shape
+    if y < -1.0 or y > H or x < -1.0 or x > W:
+        return np.zeros(C, ft.dtype)
+    y = min(max(y, 0.0), H - 1)
+    x = min(max(x, 0.0), W - 1)
+    y0, x0 = int(y), int(x)
+    y1, x1 = min(y0 + 1, H - 1), min(x0 + 1, W - 1)
+    ly, lx = y - y0, x - x0
+    hy, hx = 1 - ly, 1 - lx
+    return (ft[:, y0, x0] * hy * hx + ft[:, y0, x1] * hy * lx
+            + ft[:, y1, x0] * ly * hx + ft[:, y1, x1] * ly * lx)
+
+
+def tv_roi_align(input, boxes, output_size, spatial_scale=1.0,
+                 sampling_ratio=-1, aligned=False):
+    """Pure-NumPy reimplementation of torchvision.ops.roi_align (the
+    documented CPU algorithm), accepting (K,5) rois or a per-image list.
+    Slow but an independent golden oracle for tests."""
+    import math
+
+    import numpy as np
+    import torch
+
+    if isinstance(output_size, int):
+        output_size = (output_size, output_size)
+    if isinstance(boxes, (list, tuple)):
+        rois = torch.cat([
+            torch.cat([torch.full((len(b), 1), i, dtype=b.dtype), b], dim=1)
+            for i, b in enumerate(boxes)], dim=0)
+    else:
+        rois = boxes
+    x = input.detach().cpu().numpy()
+    r = rois.detach().cpu().numpy()
+    ph, pw = output_size
+    K, C = len(r), x.shape[1]
+    out = np.zeros((K, C, ph, pw), x.dtype)
+    off = 0.5 if aligned else 0.0
+    for k in range(K):
+        bi = int(r[k, 0])
+        sx = r[k, 1] * spatial_scale - off
+        sy = r[k, 2] * spatial_scale - off
+        ex = r[k, 3] * spatial_scale - off
+        ey = r[k, 4] * spatial_scale - off
+        rw, rh = ex - sx, ey - sy
+        if not aligned:
+            rw, rh = max(rw, 1.0), max(rh, 1.0)
+        bw, bh = rw / pw, rh / ph
+        gx = sampling_ratio if sampling_ratio > 0 else int(math.ceil(rw / pw))
+        gy = sampling_ratio if sampling_ratio > 0 else int(math.ceil(rh / ph))
+        gx, gy = max(gx, 1), max(gy, 1)
+        for py in range(ph):
+            for px in range(pw):
+                acc = np.zeros(C, x.dtype)
+                for iy in range(gy):
+                    yy = sy + py * bh + (iy + 0.5) * bh / gy
+                    for ix in range(gx):
+                        xx = sx + px * bw + (ix + 0.5) * bw / gx
+                        acc += _bilinear(x[bi], yy, xx)
+                out[k, :, py, px] = acc / (gx * gy)
+    return torch.from_numpy(out)
+
+
+def install_full_shim():
+    """install_shim + REAL torchvision op stand-ins + stub modules so the
+    reference's research layer (ood_utils, cluster_utils, predict postprocess,
+    OWOD protocol) is importable and executable as a golden oracle."""
+    import types
+
+    install_shim()
+    tv = sys.modules["torchvision"]
+    tv.ops.nms = tv_nms
+    tv.ops.box_iou = tv_box_iou
+    tv.ops.roi_align = tv_roi_align
+    tvu = types.ModuleType("torchvision.utils")
+    tvu.draw_bounding_boxes = lambda *a, **k: None
+    tv.utils = tvu
+    sys.modules["torchvision.utils"] = tvu
+
+    def _stub(name, attrs=()):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = types.ModuleType(name)
+        m.__path__ = []
+        for a in attrs:
+            setattr(m, a, lambda *args, **kw: (_ for _ in ()).throw(
+                NotImplementedError(f"{name}.{a} stub called")))
+        sys.modules[name] = m
+        return m
+
+    # the reference's custom_hyperparams uses `x: T = T()` mutable dataclass
+    # defaults, rejected by Python >= 3.11 — load a default_factory-patched
+    # copy into sys.modules before anything imports it
+    if "custom_hyperparams" not in sys.modules:
+        import re
+        import types as _t
+
+        src = (REFERENCE / "custom_hyperparams.py").read_text()
+        src = "import dataclasses as _dc\n" + re.sub(
+            r"^(\s+)(\w+): *(\w+) *= *\3\(\)",
+            r"\1\2: \3 = _dc.field(default_factory=\3)", src, flags=re.M)
+        mod = _t.ModuleType("custom_hyperparams")
+        mod.__file__ = str(REFERENCE / "custom_hyperparams.py")
+        sys.modules["custom_hyperparams"] = mod  # dataclasses resolves
+        try:                                     # cls.__module__ during exec
+            exec(compile(src, mod.__file__, "exec"), mod.__dict__)
+        except Exception:
+            del sys.modules["custom_hyperparams"]
+            raise
+
+    hdb = _stub("hdbscan", ["HDBSCAN"])
+    hdb.validity = _stub("hdbscan.validity", ["validity_index"])
+    sk = _stub("skimage")
+    sk.filters = _stub("skimage.filters",
+                       ["threshold_otsu", "threshold_multiotsu", "threshold_local"])
+    sk.measure = _stub("skimage.measure", ["label", "regionprops"])
+    sk.io = _stub("skimage.io", ["imread", "imsave"])
+    sk.color = _stub("skimage.color", ["rgb2gray"])
+    sk.transform = _stub("skimage.transform", ["resize"])
+    umap = _stub("umap", ["UMAP"])
+    del hdb, sk, umap
 
 
 # our model name -> reference yaml (scale resolved from the file name by

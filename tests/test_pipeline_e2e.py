@@ -99,3 +99,45 @@ def test_exact_pos_and_target_extraction_options(tiny_dataset, detector):
     res = evaluate_method(detector, batches, holder, known_classes=[0, 1],
                           class_names=["c0", "c1", "unknown"], conf_thr_test=1e-9)
     assert isinstance(res, dict)
+
+
+def test_benchmark_cache_slim_and_reused(tiny_dataset, detector, tmp_path,
+                                         monkeypatch):
+    """BENCHMARK_MODE persists only post-NMS per-box tensors (reference
+    Results-level cache, ood_utils.py:475-482): the cache must be orders of
+    magnitude smaller than the full PredictOutput (no neck maps) and a second
+    evaluate_method run must reproduce identical metrics from it without
+    re-running the model."""
+    import dataclasses
+
+    from ood_in_object_detection_tpu import constants as C
+    from ood_in_object_detection_tpu.core.config import CUSTOM_HYP
+    from ood_in_object_detection_tpu.ood import pipeline as pl
+
+    monkeypatch.setattr(C, "TEMPORAL_STORAGE_PATH", tmp_path / "bench_cache")
+    monkeypatch.setattr(CUSTOM_HYP, "BENCHMARK_MODE", True)
+
+    batches = list(PaddedBatcher(tiny_dataset, batch_size=4, img_size=96, max_gt=8))
+    m = LogitsOODMethod("MSP")
+    acts = extract_ind_activations(detector, batches, m, conf_thr_train=1e-9)
+    fit_ind_pipeline(m, acts, tpr=0.95)
+    kw = dict(known_classes=[0, 1], class_names=["c0", "c1", "unknown"],
+              conf_thr_test=1e-9)
+    res1 = evaluate_method(detector, batches, m, **kw)
+    files = list((tmp_path / "bench_cache").glob("*.pkl"))
+    assert files, "benchmark cache was not written"
+    # the slim cache is per-box only (det/logits/roi/exact) — NO neck maps
+    # (at 640 px those are hundreds of MB per batch)
+    import pickle
+
+    cached = pickle.loads(files[0].read_bytes())
+    assert cached[-1] == (), "neck maps must not be cached without EUL"
+    assert max(f.stat().st_size for f in files) < 4_000_000
+
+    # second run must hit the cache: poison the real step to prove it
+    def boom(*a, **k):
+        raise AssertionError("model was re-run despite benchmark cache")
+
+    monkeypatch.setattr(detector, "predict_fn", lambda *a, **k: boom)
+    res2 = evaluate_method(detector, batches, m, **kw)
+    assert res1 == res2
