@@ -54,22 +54,22 @@ def _dfl_matrices(reg_max: int = REG_MAX):
 def nhwc_dfl_boxes(f: jax.Array, stride: float, reg_max: int = REG_MAX) -> jax.Array:
     """(B, H, W, 4*reg_max+nc) raw map -> (B, H, W, 4) xyxy boxes in pixels.
 
-    Lane-native DFL: exp(x - rowmax) contracted with block-diagonal bin/one
-    matrices; the shared rowmax offset cancels within each 16-bin softmax, so
-    each chunk's expectation equals the reference DFL conv
-    (nn/modules/block.py:56-75) exactly, in f32.
+    Lane-native DFL: exp(x - per-chunk max) contracted with block-diagonal
+    bin/one matrices — the exact reference DFL conv (nn/modules/block.py:
+    56-75) softmax per 16-bin chunk, in f32. The per-chunk max is 4 lane
+    slices + a (4, 64) broadcast matmul (advisor r2 #3: a shared rowmax
+    underflows chunks sitting >~87 below the anchor-wide max; per-chunk
+    subtraction removes the failure mode with no reshape of the lane dim).
     """
     b, h, w, _ = f.shape
     x = f[..., : 4 * reg_max].astype(jnp.float32)
-    e = jnp.exp(x - jnp.max(x, axis=-1, keepdims=True))
     bd, od = _dfl_matrices(reg_max)
+    cm = jnp.stack([jnp.max(x[..., k * reg_max:(k + 1) * reg_max], axis=-1)
+                    for k in range(4)], axis=-1)       # (B,H,W,4)
+    e = jnp.exp(x - cm @ jnp.asarray(od.T))            # per-chunk max spread
     num = e @ jnp.asarray(bd)
-    den = e @ jnp.asarray(od)
-    # den floor: with the shared rowmax (vs the reference's per-chunk max), a
-    # chunk sitting far below the anchor's max over all 64 channels can
-    # underflow entirely; 0/0 would be NaN — floor gives dist 0 (anchor
-    # point) for such degenerate chunks instead. Identical otherwise.
-    dist = num / jnp.maximum(den, 1e-20)              # (B,H,W,4) ltrb, grid units
+    den = e @ jnp.asarray(od)                          # >= 1 by construction
+    dist = num / den                                   # (B,H,W,4) ltrb, grid units
     gx = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, None, :]
     gy = (jnp.arange(h, dtype=jnp.float32) + 0.5)[None, :, None]
     x1 = (gx - dist[..., 0]) * stride

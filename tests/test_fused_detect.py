@@ -46,6 +46,32 @@ def test_fused_matches_full_decode(rng, conf_thres):
     np.testing.assert_allclose(np.asarray(out.logits)[v], want[v], rtol=1e-5)
 
 
+def test_dfl_per_chunk_max_no_underflow(rng):
+    """A 16-bin chunk sitting ~200 below another chunk's max must still produce
+    the reference per-chunk softmax expectation (advisor r2 #3: a shared
+    anchor-wide rowmax underflowed such chunks to distance 0)."""
+    from ood_in_object_detection_tpu.ops.fused_detect import nhwc_dfl_boxes
+
+    nc, h, w = 3, 4, 4
+    raw = rng.normal(size=(1, h, w, 4 * REG_MAX + nc)).astype(np.float32)
+    # chunk 0 (left) huge, chunk 2 (right) tiny: shared-rowmax would zero chunk 2
+    raw[..., :REG_MAX] += 200.0
+    raw[..., 2 * REG_MAX + 5] = 3.0  # right-dist chunk peaked at bin 5
+    got = np.asarray(nhwc_dfl_boxes(jnp.asarray(raw), stride=8.0))
+
+    x = raw[..., : 4 * REG_MAX].reshape(1, h, w, 4, REG_MAX).astype(np.float64)
+    p = np.exp(x - x.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    dist = (p * np.arange(REG_MAX)).sum(-1)  # (1,H,W,4) ltrb
+    gx = (np.arange(w) + 0.5)[None, None, :]
+    gy = (np.arange(h) + 0.5)[None, :, None]
+    want = np.stack([(gx - dist[..., 0]) * 8.0, (gy - dist[..., 1]) * 8.0,
+                     (gx + dist[..., 2]) * 8.0, (gy + dist[..., 3]) * 8.0], -1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+    # the right edge reflects bin≈5, not the anchor point
+    assert np.all(dist[..., 2] > 2.0)
+
+
 def test_fused_zeroes_invalid_rows(rng):
     nc = 7
     raw = _raw_levels(rng, nc=nc)
