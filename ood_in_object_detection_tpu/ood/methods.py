@@ -236,6 +236,8 @@ class DistanceOODMethod:
 
     def bank(self) -> CentroidBank:
         if self._bank is None:
+            import jax
+
             dims = [c.shape[-1] for row in self.clusters for c in row
                     if isinstance(c, np.ndarray) and c.ndim == 2]
             # strides can have different feature dims (neck P3/P4/P5 channels);
@@ -246,7 +248,11 @@ class DistanceOODMethod:
                  and c.ndim == 2 else c for c in row]
                 for row in self.clusters
             ]
-            self._bank = build_centroid_bank(padded, d)
+            # the build must stay concrete even when first triggered inside a
+            # jit trace (e.g. distances() under an outer jit): without this,
+            # the cached bank is a tracer and poisons every later trace
+            with jax.ensure_compile_time_eval():
+                self._bank = build_centroid_bank(padded, d)
         return self._bank
 
     # -- scoring --

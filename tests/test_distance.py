@@ -1,5 +1,6 @@
 """Distance-method semantics vs sklearn (reference ood_utils.py:2404-2430)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 from sklearn.metrics import pairwise_distances
@@ -83,3 +84,19 @@ def test_multi_cluster_kmeans(rng):
     acts[0][0] = np.concatenate(blobs).astype(np.float32)
     m.generate_clusters(acts)
     assert m.clusters[0][0].shape[0] == 3
+
+
+def test_bank_built_under_jit_stays_concrete(rng):
+    """A bank first built inside a jit trace must not cache a tracer: a
+    second, different jit using the same method would die with
+    UnexpectedTracerError (found by scripts/bench_distance_ladder.py)."""
+    m = DistanceOODMethod.from_name("Cosine_cl_stride", cluster_method="one")
+    c = rng.normal(size=(2, 4)).astype(np.float32)
+    m.clusters = [[c / np.linalg.norm(c, axis=-1, keepdims=True)] * 3]
+    feats = jnp.asarray(rng.normal(size=(5, 4)).astype(np.float32))
+    cls = jnp.zeros(5, jnp.int32)
+    stride = jnp.zeros(5, jnp.int32)
+
+    d1 = jax.jit(lambda f: m.distances(f, cls, stride))(feats)  # builds bank
+    d2 = jax.jit(lambda f: m.distances(f, cls, stride) * 1.0)(feats)  # 2nd trace
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
