@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import tb_events
+
 log = logging.getLogger("train")
 
 
@@ -53,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--degrees", type=float, default=0.0)
     p.add_argument("--shear", type=float, default=0.0)
     p.add_argument("--perspective", type=float, default=0.0)
+    p.add_argument("--no_tensorboard", action="store_true",
+                   help="skip writing tensorboard event files to the run dir")
     p.add_argument("--pretrained_backbone", default="",
                    help="classification-model .pt whose backbone (layers 0-6) "
                         "is grafted before training "
@@ -165,6 +169,10 @@ def main(argv=None) -> None:
             csv_path.write_text("epoch,time_s,train/box_loss,train/cls_loss,"
                                 "train/dfl_loss,train/total_loss,lr,"
                                 "metrics/mAP50,metrics/mAP50-95\n")
+        # live-observability events next to the CSV (reference
+        # callbacks/tensorboard.py:8-97), written without importing tensorboard
+        tb = (tb_events.EventWriter(run_dir) if not args.no_tensorboard
+              else None)
         for epoch in range(start_epoch, args.epochs):
             t0 = time.perf_counter()
             losses = []
@@ -192,6 +200,17 @@ def main(argv=None) -> None:
                 f.write(f"{epoch},{dt:.2f},{mean['box']:.6f},{mean['cls']:.6f},"
                         f"{mean['dfl']:.6f},{mean['total']:.6f},{lr_now:.6g},"
                         f"{map50:.6f},{map5095:.6f}\n")
+            if tb is not None:
+                tb.scalars({"train/box_loss": mean["box"],
+                            "train/cls_loss": mean["cls"],
+                            "train/dfl_loss": mean["dfl"],
+                            "train/total_loss": mean["total"],
+                            "lr/lr0": lr_now,
+                            "metrics/mAP50(B)": map50,
+                            "metrics/mAP50-95(B)": map5095}, epoch)
+                tb.flush()
+        if tb is not None:
+            tb.close()
     log.info("done")
 
 
