@@ -1,0 +1,267 @@
+"""Two-framework mini-replication: train the SAME v8n from the SAME init on
+the SAME synthetic OWOD-style dataset in torch (the vendored reference's loss/
+optimizer/warmup) and in this framework, then push both trained models through
+the SAME eval (our pipeline + the parity-tested OWOD protocol) and compare
+loss trajectories, detection metrics, and OoD thresholds within bands.
+
+This is the feasible proxy for the paper-CSV accuracy-parity contract
+(BASELINE.md): the real datasets/checkpoints are unreachable in this
+environment, but if both frameworks agree on every stage here — same
+gradients, same schedule, same eval numbers — the remaining risk is data,
+not code. (VERDICT r2 'missing #2' / next-step #6.)
+
+Run:  python scripts/mini_replicate.py  [--epochs 3 --steps 8 --out PARITY_mini.json]
+The committed numbers live in PARITY.md ("Mini-replication").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
+
+
+def make_synthetic_batches(rng, n_batches, bs=4, size=64, nc=2, unknowns=False):
+    """Learnable synthetic detection data: solid-color boxes on gray noise.
+    class 0 = red box, class 1 = green box; 'unknown' = blue box (class 80)."""
+    batches = []
+    for _ in range(n_batches):
+        imgs = rng.uniform(0.35, 0.65, (bs, size, size, 3)).astype(np.float32)
+        gtb = np.zeros((bs, 2, 4), np.float32)
+        gtl = np.zeros((bs, 2), np.int32)
+        gtm = np.zeros((bs, 2), bool)
+        for i in range(bs):
+            for j in range(2):
+                w, h = rng.integers(14, 28, 2)
+                x1 = rng.integers(2, size - w - 2)
+                y1 = rng.integers(2, size - h - 2)
+                cls = int(rng.integers(0, nc))
+                color = {0: (0.95, 0.1, 0.1), 1: (0.1, 0.9, 0.15)}[cls]
+                if unknowns and j == 1 and rng.random() < 0.5:
+                    color, cls = (0.1, 0.2, 0.95), 80
+                imgs[i, y1:y1 + h, x1:x1 + w] = color
+                gtb[i, j] = [x1, y1, x1 + w, y1 + h]
+                gtl[i, j] = cls if cls != 80 else 0  # label slot (mask below)
+                gtm[i, j] = cls != 80 or not unknowns
+                if cls == 80:
+                    gtl[i, j] = 80
+                    gtm[i, j] = True
+        batches.append(dict(images=imgs, gt_bboxes=gtb, gt_labels=gtl,
+                            gt_mask=gtm))
+    return batches
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--conf", type=float, default=1e-5,
+                    help="eval conf threshold (random-init confidences sit at "
+                         "~4e-5; 1e-4 leaves the eval vacuous on short runs)")
+    ap.add_argument("--out", default="PARITY_mini.json")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    # Force CPU BEFORE any backend query: calling jax.default_backend() first
+    # would initialize the axon TPU backend and make the update a no-op
+    # (CLAUDE.md environment gotcha). CPU keeps both frameworks on f32
+    # arithmetic (TPU f32 matmuls default to bf16-precision MXU passes, which
+    # adds real divergence vs torch CPU).
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import torch
+    import torch.nn as nn
+
+    from _reference_bridge import build_reference_model
+    from test_reference_parity import _import_into_flax
+
+    from ood_in_object_detection_tpu.train import TrainConfig, train_step
+    from ood_in_object_detection_tpu.train.trainer import TrainState, make_optimizer
+
+    rng = np.random.default_rng(args.seed)
+    nc = 2
+    train_batches = make_synthetic_batches(rng, args.steps)
+    eval_batches = make_synthetic_batches(rng, 6, unknowns=True)
+
+    # same init on both sides — and the SAME init across runs: the reference
+    # DetectionModel's weight init draws from torch's global RNG, which is
+    # otherwise unseeded (run-to-run mAP on this tiny eval set swings by
+    # ±0.4 purely from init)
+    torch.manual_seed(args.seed)
+    tm = build_reference_model("yolov8n", nc=nc, extraction=False)
+    fm, variables, sd, missing = _import_into_flax("yolov8n", tm, nc=nc)
+    assert not missing
+
+    # ---- torch side: reference loss + 3-group SGD + warmup ----
+    g = ([], [], [])
+    for mn, mod in tm.named_modules():
+        for pn, par in mod.named_parameters(recurse=False):
+            full = f"{mn}.{pn}" if mn else pn
+            (g[2] if "bias" in full else
+             g[1] if isinstance(mod, nn.BatchNorm2d) else g[0]).append(par)
+    lr0, mom, wd, wblr = 5e-3, 0.937, 5e-4, 0.05
+    opt = torch.optim.SGD(g[2], lr=lr0, momentum=mom, nesterov=True)
+    opt.add_param_group({"params": g[0], "weight_decay": wd})
+    opt.add_param_group({"params": g[1], "weight_decay": 0.0})
+    tm.train()
+    tm.args = SimpleNamespace(box=7.5, cls=0.5, dfl=1.5)
+    from ultralytics.utils.loss import v8DetectionLoss
+
+    crit = v8DetectionLoss(tm)
+
+    cfg = TrainConfig(lr0=lr0, lrf=0.01, momentum=mom, weight_decay=wd,
+                      warmup_bias_lr=wblr, warmup_epochs=1.0,
+                      epochs=args.epochs, steps_per_epoch=args.steps)
+    nw = max(round(cfg.warmup_epochs * args.steps), 100)
+    lf = lambda e: max(1 - e / cfg.epochs, 0) * (1 - cfg.lrf) + cfg.lrf
+
+    tx = make_optimizer(cfg)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]),
+                       ema_params=variables["params"],
+                       step=jnp.zeros((), jnp.int32))
+    jstep = jax.jit(lambda s, b: train_step(fm, cfg, s, b))
+
+    def to_torch_batch(b):
+        gtb, gtl, m = b["gt_bboxes"], b["gt_labels"], b["gt_mask"]
+        rows_i, rows_c, rows_b = [], [], []
+        for i in range(len(gtb)):
+            for j in range(gtb.shape[1]):
+                if m[i, j]:
+                    rows_i.append(i)
+                    rows_c.append(gtl[i, j])
+                    cxy = (gtb[i, j, :2] + gtb[i, j, 2:]) / 2 / 64
+                    wh = (gtb[i, j, 2:] - gtb[i, j, :2]) / 64
+                    rows_b.append(np.concatenate([cxy, wh]))
+        return {"batch_idx": torch.tensor(rows_i, dtype=torch.float32),
+                "cls": torch.tensor(np.asarray(rows_c, np.float32)[:, None]),
+                "bboxes": torch.tensor(np.asarray(rows_b, np.float32))}
+
+    t_losses, o_losses = [], []
+    ni = 0
+    for ep in range(args.epochs):
+        for b in train_batches:
+            # reference trainer: in-loop np.interp warmup (trainer.py:375-386)
+            # and AFTER warmup the per-epoch scheduler keeps lr = lr0*lf(ep)
+            # (scheduler.step(); without this the lr stays frozen at the last
+            # warmup value and the torch run plateaus ~3 loss points high)
+            for j, grp in enumerate(opt.param_groups):
+                if ni <= nw:
+                    grp["lr"] = float(np.interp(
+                        ni, [0, nw], [wblr if j == 0 else 0.0, lr0 * lf(ep)]))
+                    grp["momentum"] = float(np.interp(ni, [0, nw], [0.8, mom]))
+                else:
+                    grp["lr"] = lr0 * lf(ep)
+            lv, _ = crit(tm(torch.from_numpy(b["images"].transpose(0, 3, 1, 2))),
+                         to_torch_batch(b))
+            opt.zero_grad()
+            lv.sum().backward()
+            opt.step()
+            t_losses.append(float(lv.sum().detach()))
+            jb = {k: jnp.asarray(v) for k, v in b.items()}
+            state, lb = jstep(state, jb)
+            o_losses.append(float(lb.total))
+            ni += 1
+
+    # ---- eval both trained models through OUR (parity-tested) pipeline ----
+    from ood_in_object_detection_tpu.engine import Detector
+    from ood_in_object_detection_tpu.ood.methods import LogitsOODMethod
+    from ood_in_object_detection_tpu.ood.pipeline import (
+        evaluate_method, extract_ind_activations, fit_ind_pipeline,
+    )
+
+    def eval_with(vars_):
+        det = Detector.create("yolov8n", nc=nc, img_size=64, variables=vars_)
+        m = LogitsOODMethod("MSP")
+        eb = [dict(b, im_names=[f"img{k}_{i}" for i in range(len(b["images"]))],
+                   batch_mask=np.ones(len(b["images"]), bool))
+              for k, b in enumerate(eval_batches)]
+        acts = extract_ind_activations(det, eb, m, conf_thr_train=args.conf,
+                                       iou_thr_matching=0.35)
+        fit_ind_pipeline(m, acts, tpr=0.95)
+        thr = [t for t in m.thresholds if t is not None]
+        res = evaluate_method(det, eb, m, known_classes=[0, 1],
+                              class_names=["red", "green", "unknown"],
+                              conf_thr_test=args.conf)
+        n_det = sum(int(np.asarray(det.predict(
+            jnp.asarray(b["images"]), conf_thres=args.conf).det.valid).sum())
+            for b in eval_batches)
+        return thr, res, n_det
+
+    ours_vars = {"params": state.params, "batch_stats": state.batch_stats}
+    thr_o, res_o, ndet_o = eval_with(ours_vars)
+
+    fm2, vars_torch, _, missing2 = _import_into_flax("yolov8n", tm, nc=nc)
+    assert not missing2
+    thr_t, res_t, ndet_t = eval_with(vars_torch)
+
+    def band(a, b, tol):
+        return abs(a - b) <= tol * max(abs(a), abs(b), 1e-6)
+
+    loss_dev = [abs(a - b) / max(a, b) for a, b in zip(t_losses, o_losses)]
+    report = {
+        "epochs": args.epochs, "steps_per_epoch": args.steps,
+        "torch_losses": [round(x, 4) for x in t_losses],
+        "ours_losses": [round(x, 4) for x in o_losses],
+        "max_rel_loss_dev": round(max(loss_dev), 4),
+        "n_eval_dets_ours_weights": ndet_o,
+        "n_eval_dets_torch_weights": ndet_t,
+        "thresholds_ours_weights": [round(float(t), 5) for t in thr_o],
+        "thresholds_torch_weights": [round(float(t), 5) for t in thr_t],
+        "metrics_ours_weights": {k: round(float(v), 4) for k, v in res_o.items()},
+        "metrics_torch_weights": {k: round(float(v), 4) for k, v in res_t.items()},
+    }
+    Path(args.out).write_text(json.dumps(report, indent=1))
+    print(json.dumps(report, indent=1))
+
+    # bands. Per-step agreement is only meaningful before SGD chaos on the
+    # discrete TAL assignment compounds (the rigorous fixed-weight step parity
+    # lives in tests/test_reference_parity.py::test_train_step_parity): the
+    # first few steps must track tightly, after which the claim becomes
+    # trajectory-level — both runs converge, to similar detection quality,
+    # with close OoD thresholds out of the same (parity-tested) eval pipeline.
+    assert max(loss_dev[:5]) < 0.05, f"early-step loss deviation {loss_dev[:5]}"
+    n_last = args.steps * max(args.epochs // 4, 1)
+    mt = float(np.mean(t_losses[-n_last:]))
+    mo = float(np.mean(o_losses[-n_last:]))
+    report["final_quarter_mean_loss"] = {"torch": round(mt, 4), "ours": round(mo, 4)}
+    assert band(mt, mo, 0.30), f"final mean losses diverged: {mt} vs {mo}"
+    # non-vacuous: both trained models must actually detect at eval time
+    assert ndet_o > 0 and ndet_t > 0, f"vacuous eval: dets {ndet_o}/{ndet_t}"
+    assert thr_o and thr_t, "vacuous eval: no InD thresholds fitted"
+    # Thresholds are per-model 95th-percentile MSP calibration: after ~300
+    # chaotically-diverged SGD steps the two models' confidence levels (and
+    # even which classes got matched InD detections) legitimately differ, so
+    # assert only sanity + a loose mean band and REPORT the values
+    # (same-weights threshold parity to 1e-6 is pinned by
+    # tests/test_reference_pipeline_parity.py).
+    for t in thr_o + thr_t:
+        assert 0.3 < t <= 1.0, f"implausible threshold {t}"
+    assert abs(float(np.mean(thr_o)) - float(np.mean(thr_t))) < 0.35, \
+        f"mean thresholds diverged: {thr_o} vs {thr_t}"
+    assert abs(res_o.get("mAP", 0) - res_t.get("mAP", 0)) < 0.2, \
+        f"mAP: {res_o.get('mAP')} vs {res_t.get('mAP')}"
+    # U-* metrics count ~14 unknown GT boxes against MSP-on-2-classes models
+    # trained 320 steps — legitimate values here span 0..0.7 run-to-run, so
+    # they are REPORTED (PARITY.md) rather than banded; assert only that the
+    # unknown protocol produced non-vacuous output on at least one side
+    assert any(res_o.get(k, 0) or res_t.get(k, 0)
+               for k in ("U-AP", "U-REC", "A-OSE")), \
+        f"unknown-protocol outputs vacuous: {res_o} vs {res_t}"
+    Path(args.out).write_text(json.dumps(report, indent=1))
+    print("MINI-REPLICATION OK")
+    return report
+
+
+if __name__ == "__main__":
+    main()
