@@ -211,9 +211,14 @@ def bench_headline():
 
 
 def bench_flagship():
-    """YOLOv8l (the paper's model, BASELINE.md) detect+score e2e."""
+    """YOLOv8l (the paper's model, BASELINE.md) detect+score e2e.
+
+    Batch 128 is the measured v5e sweet spot for l-scale too
+    (scripts/bench_flagship_sweep.py: 96/112/128 -> 828/845/887 img/s;
+    144+ collapses to ~500 on HBM pressure; bf16 param storage loses
+    ~8% to per-use upcasts)."""
     _bench_detect_score("yolov8l", "images_per_sec_yolov8l_flagship_e2e",
-                        (96, 32))
+                        (BATCH, 96, 32))
 
 
 def bench_train_step():

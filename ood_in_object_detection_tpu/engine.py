@@ -22,7 +22,7 @@ import numpy as np
 from .models import build_model, model_forward
 
 from .ops import Detections, batched_nms, fused_detect
-from .ops.roi_align import batched_roi_align_1x1
+from .ops.roi_align import batched_roi_align_1x1, roi_and_exact_batched
 
 
 class PredictOutput(NamedTuple):
@@ -136,9 +136,12 @@ class Detector:
             b1 = b0 + hw[1][0] * hw[1][1]
             level = ((det.anchor_idx >= b0).astype(jnp.int32)
                      + (det.anchor_idx >= b1).astype(jnp.int32))
-            roi = batched_roi_align_1x1(neck_feats, det.boxes, level,
-                                        img_w=img_size, samples=samples)
-            exact = _exact_pos_features(neck_feats, det.anchor_idx, level)
+            # RoI + exact-position taps in one separable contraction per
+            # level (exact = one-hot axis weights); Pallas VMEM-Q kernel on
+            # TPU for the large levels (ops/pallas/roi.py)
+            roi, exact = roi_and_exact_batched(
+                neck_feats, det.boxes, det.anchor_idx, level,
+                img_w=img_size, samples=samples)
             return PredictOutput(det, logits, level, det.anchor_idx, roi, exact,
                                  tuple(neck_feats))
 

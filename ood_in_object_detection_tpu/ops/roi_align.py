@@ -211,6 +211,78 @@ def roi_align_1x1_batched_level(
     return out.astype(fmap.dtype)
 
 
+# use the Pallas VMEM-Q kernel for levels at least this many cells (P3/P4 at
+# 640 px); smaller maps (P5) stay on the XLA einsum whose Q is already tiny
+PALLAS_MIN_HW = 1024
+
+
+def roi_and_exact_batched(
+    fmaps: Sequence[jnp.ndarray],  # per level (B, H_l, W_l, C_l)
+    boxes_xyxy: jnp.ndarray,       # (B, N, 4) image pixels
+    anchor_idx: jnp.ndarray,       # (B, N) flat anchor index over all levels
+    level_idx: jnp.ndarray,        # (B, N) int32 in [0, L)
+    img_w: int,
+    samples: int = 4,
+    smax: int = None,
+    use_pallas: bool = True,
+) -> tuple:
+    """Level-routed 1x1 RoIAlign *and* exact-position tap -> two (B, N, Cmax).
+
+    The exact-position tap (the box's own anchor cell, reference
+    predict.py:288-325) is RoIAlign with one-hot separable axis weights, so
+    both ride one contraction per level: the one-hot (wy=e_h, wx=e_w) rows
+    are appended to the bilinear hat rows and the (B, 2N, HW) weight matrix
+    is contracted with the flat map — on TPU via the Pallas VMEM-Q kernel
+    (ops/pallas/roi.py) for the large levels, which never materialises Q in
+    HBM; elsewhere via the same einsum as roi_align_1x1_batched_level.
+
+    Values match (batched_roi_align_1x1, engine._exact_pos_features) exactly
+    on the XLA path and to dot-reduction-order tolerance on the kernel path.
+    """
+    cmax = max(f.shape[-1] for f in fmaps)
+    n = boxes_xyxy.shape[1]
+    on_tpu = jax.default_backend() == "tpu"
+    roi_out = exact_out = None
+    off = 0
+    for li, f in enumerate(fmaps):
+        b, h, w, c = f.shape
+        scale = w / img_w  # width ratio, predict.py:69
+        bx = boxes_xyxy * scale
+        x1, y1 = bx[..., 0], bx[..., 1]
+        bw = jnp.maximum(bx[..., 2] - x1, 1.0)
+        bh = jnp.maximum(bx[..., 3] - y1, 1.0)
+        wx = _axis_weights(x1, bw, w, samples, smax)        # (B, N, W)
+        wy = _axis_weights(y1, bh, h, samples, smax)        # (B, N, H)
+        # exact tap as one-hot separable weights at the box's own anchor cell
+        # (same clipped local index as engine._exact_pos_features)
+        local = jnp.clip(anchor_idx - off, 0, h * w - 1)
+        hn, wn = local // w, local % w
+        ex_wx = (jnp.arange(w)[None, None, :] == wn[..., None]).astype(jnp.float32)
+        ex_wy = (jnp.arange(h)[None, None, :] == hn[..., None]).astype(jnp.float32)
+        wx_all = jnp.concatenate([wx, ex_wx], axis=1)       # (B, 2N, W)
+        wy_all = jnp.concatenate([wy, ex_wy], axis=1)       # (B, 2N, H)
+        if use_pallas and on_tpu and w <= 128 and h * w >= PALLAS_MIN_HW:
+            from .pallas.roi import roi_matmul_level_pallas
+
+            v = roi_matmul_level_pallas(f, wx_all, wy_all, variant="twostage")
+        else:
+            q = (wy_all[..., :, None] * wx_all[..., None, :]
+                 ).reshape(b, 2 * n, h * w).astype(f.dtype)
+            v = jnp.einsum("bnk,bkc->bnc", q, f.reshape(b, h * w, c),
+                           preferred_element_type=jnp.float32)
+        v = v.astype(f.dtype)
+        if c < cmax:
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, cmax - c)))
+        v_roi, v_ex = v[:, :n], v[:, n:]
+        in_level = (anchor_idx >= off) & (anchor_idx < off + h * w)
+        roi_out = v_roi if roi_out is None else jnp.where(
+            (level_idx == li)[..., None], v_roi, roi_out)
+        exact_out = v_ex if exact_out is None else jnp.where(
+            in_level[..., None], v_ex, exact_out)
+        off += h * w
+    return roi_out, exact_out
+
+
 def batched_roi_align_1x1(
     fmaps: Sequence[jnp.ndarray],  # per level (B, H_l, W_l, C_l)
     boxes_xyxy: jnp.ndarray,       # (B, N, 4)

@@ -29,7 +29,7 @@ import numpy as np
 REL_TOL = 0.05
 
 
-def compute_outputs(name: str = "yolov8n", img: int = 192, batch: int = 2,
+def compute_outputs(name: str = "yolov8n", img: int = 320, batch: int = 2,
                     seed: int = 0) -> dict:
     """Deterministic pre-NMS taps of the bf16 perf path.
 
@@ -40,9 +40,8 @@ def compute_outputs(name: str = "yolov8n", img: int = 192, batch: int = 2,
     import jax
     import jax.numpy as jnp
 
-    from ..engine import _exact_pos_features
     from ..models import build_model
-    from ..ops.roi_align import batched_roi_align_1x1
+    from ..ops.roi_align import roi_and_exact_batched
 
     model = build_model(name, nc=8, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(seed)
@@ -62,8 +61,10 @@ def compute_outputs(name: str = "yolov8n", img: int = 192, batch: int = 2,
         raw_levels, neck = model.apply(variables, images, train=False)[:2]
         a_total = sum(f.shape[1] * f.shape[2] for f in neck)
         aidx = (jnp.arange(batch * n) * 7919 % a_total).reshape(batch, n)
-        roi = batched_roi_align_1x1(neck, boxes, level, img_w=img)
-        exact = _exact_pos_features(neck, aidx)
+        # the engine's real tap path: Pallas two-stage kernel on TPU for the
+        # large levels, XLA folded einsum elsewhere (ops/roi_align.py) — at
+        # 320 px P3 (40x40) crosses PALLAS_MIN_HW so the kernel is exercised
+        roi, exact = roi_and_exact_batched(neck, boxes, aidx, level, img_w=img)
         return raw_levels, neck, roi, exact
 
     raw_levels, neck, roi, exact = fwd(variables, images, boxes, level)
