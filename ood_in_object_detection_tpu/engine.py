@@ -164,11 +164,17 @@ class Detector:
         """Multi-chip data-parallel serving: params replicated, the image
         batch sharded over the mesh's data axis; jit compiles the same step
         as an SPMD program (XLA inserts the collectives — none are needed for
-        DP inference, every per-image output stays on its shard).
+        DP inference, every per-image output stays on its shard). If the
+        mesh has an ``sp`` axis of size > 1, image height is additionally
+        sharded across it (spatial parallelism: conv halos ride XLA SPMD
+        collective-permutes) — this scales single-image latency where DP
+        cannot.
 
         The reference parallelizes eval by launching one process per GPU
         (replicate/benchmarks_v8.sh); here one process drives the whole mesh.
         """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from .parallel.mesh import batch_sharding, replicated
 
         # replicate weights once per (mesh, weight-tree identity). A single
@@ -181,7 +187,11 @@ class Detector:
                       jax.device_put(self.variables, replicated(mesh)))
             self._step_cache["replicated"] = cached
         v = cached[2]
-        x = jax.device_put(images, batch_sharding(mesh))
+        if "sp" in mesh.axis_names and mesh.shape["sp"] > 1:
+            x = jax.device_put(images,
+                               NamedSharding(mesh, P("data", "sp", None, None)))
+        else:
+            x = jax.device_put(images, batch_sharding(mesh))
         return self.predict_fn(conf_thres=conf_thres, **kw)(v, x)
 
     # per-level neck channel counts (to slice roi_feats padding)

@@ -6,6 +6,12 @@ equivalent: a named ``jax.sharding.Mesh`` over ICI with jit-sharded arrays —
 XLA inserts the collectives. Axes:
 
 - ``data``: batch-dimension data parallelism (DDP equivalent)
+- ``sp``: spatial parallelism over the image-height dimension of the conv
+  grid (the "2D SP analogue" SURVEY.md §2.5 reserves as a design extension):
+  XLA's SPMD partitioner inserts the halo collective-permutes every k>1 conv
+  needs at tile edges. Scales single-image latency / huge-resolution inputs
+  where DP cannot (batch 1), and — unlike conv-channel TP — its collective
+  schedule also executes on XLA:CPU virtual meshes, so it is dryrun-testable.
 - ``model``: output-channel tensor parallelism for the conv kernels (a design
   extension; the reference has no TP — SURVEY.md §2.5)
 
@@ -25,16 +31,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    data: Optional[int] = None, model: int = 1, devices=None
+    data: Optional[int] = None, model: int = 1, sp: int = 1, devices=None
 ) -> Mesh:
-    """Build a ("data", "model") mesh. Defaults: all devices on the data axis."""
+    """Build a ("data", "sp", "model") mesh. Defaults: all devices on data."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data is None:
-        data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    dev_array = np.asarray(devices).reshape(data, model)
-    return Mesh(dev_array, axis_names=("data", "model"))
+        data = n // (model * sp)
+    assert data * sp * model == n, f"mesh {data}x{sp}x{model} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, sp, model)
+    return Mesh(dev_array, axis_names=("data", "sp", "model"))
 
 
 def batch_spec() -> P:
@@ -74,11 +80,20 @@ def shard_params(params, mesh: Mesh):
 
 
 def device_put_batch(batch, mesh: Mesh):
-    """Place a host batch dict on the mesh, batch-dim sharded over "data"."""
-    sh = batch_sharding(mesh)
+    """Place a host batch dict on the mesh, batch-dim sharded over "data".
+
+    When the mesh has an ``sp`` axis of size > 1, 4-D image tensors are
+    additionally sharded over their height dimension — XLA SPMD inserts the
+    conv halo exchanges; every other (per-box/per-label) leaf stays
+    batch-sharded only."""
+    sp = "sp" in mesh.axis_names and mesh.shape["sp"] > 1
 
     def put(x):
         x = jnp.asarray(x)
-        return jax.device_put(x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
+        if sp and x.ndim == 4:
+            spec = P("data", "sp", None, None)
+        else:
+            spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, batch)

@@ -84,6 +84,32 @@ def test_sharded_step_matches_unsharded():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_sharded_step_dp_sp_matches_unsharded():
+    """DPxSP (batch over 'data', image height over 'sp') must compute the
+    same step as single-device jit: spatial partitioning only changes where
+    conv halo rows live (XLA SPMD collective-permutes), not the math."""
+    from ood_in_object_detection_tpu.train import train_step
+
+    model = build_model("yolov8n", nc=4)
+    cfg = TrainConfig(epochs=1, steps_per_epoch=2)
+    batch = _tiny_batch(4)
+    state = init_state(model, cfg, jax.random.PRNGKey(0), batch["images"])
+
+    ref_state, ref_lb = jax.jit(lambda s, b: train_step(model, cfg, s, b))(state, batch)
+
+    mesh = make_mesh(data=4, sp=2, model=1)
+    with mesh:
+        sstate = shard_state(state, mesh)
+        placed = device_put_batch(batch, mesh)
+        assert placed["images"].sharding.spec == jax.sharding.PartitionSpec(
+            "data", "sp", None, None)
+        new_state, lb = make_sharded_train_step(model, cfg, mesh)(sstate, placed)
+    np.testing.assert_allclose(float(lb.total), float(ref_lb.total), rtol=2e-4)
+    a = jax.tree.leaves(ref_state.params)[0]
+    b = jax.tree.leaves(new_state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_freeze_prefixes_keep_params_bit_identical():
     """Regression for the round-1 freeze bug: optax.masked passed raw grads
     through for frozen leaves (unscaled gradient ASCENT). Frozen subtrees must

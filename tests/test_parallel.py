@@ -14,7 +14,9 @@ def test_mesh_shapes():
     mesh = make_mesh()  # all devices on data axis
     assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
     mesh2 = make_mesh(data=4, model=2)
-    assert mesh2.shape == {"data": 4, "model": 2}
+    assert mesh2.shape == {"data": 4, "sp": 1, "model": 2}
+    mesh3 = make_mesh(data=2, sp=4)
+    assert mesh3.shape == {"data": 2, "sp": 4, "model": 1}
 
 
 def test_param_spec_tp_sharding():
@@ -60,6 +62,24 @@ def test_sharded_predict_matches_single_device():
     out_s = det.predict_sharded(imgs, mesh, conf_thres=1e-6, pre_nms_k=128)
     out_1 = det.predict(imgs, conf_thres=1e-6, pre_nms_k=128)
     assert len(out_s.det.boxes.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out_s.det.boxes),
+                               np.asarray(out_1.det.boxes), rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_s.det.valid),
+                                  np.asarray(out_1.det.valid))
+    np.testing.assert_allclose(np.asarray(out_s.roi_feats),
+                               np.asarray(out_1.roi_feats), rtol=1e-5, atol=1e-5)
+
+
+def test_sp_sharded_predict_matches_single_device():
+    """DPxSP serving: image height sharded over 'sp' (conv halos via XLA
+    SPMD) must reproduce the unsharded predict numbers."""
+    from ood_in_object_detection_tpu.engine import Detector
+
+    det = Detector.create("yolov8n", nc=4, img_size=64)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (4, 64, 64, 3))
+    mesh = make_mesh(data=4, sp=2, model=1)
+    out_s = det.predict_sharded(imgs, mesh, conf_thres=1e-6, pre_nms_k=128)
+    out_1 = det.predict(imgs, conf_thres=1e-6, pre_nms_k=128)
     np.testing.assert_allclose(np.asarray(out_s.det.boxes),
                                np.asarray(out_1.det.boxes), rtol=1e-5, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(out_s.det.valid),
