@@ -123,21 +123,35 @@ def bench_distance_step():
 
 
 def bench_eul_host(det):
-    from ood_in_object_detection_tpu.ood.unknown import unknown_proposals_for_image
+    """EUL cost per image on the shipped split: batched DEVICE front-end
+    (saliency + recursive-Otsu thresholds, one jitted call per batch of 64)
+    + the remaining HOST stages (CC boxes + postprocess). The metric keeps
+    its historical name; until round 3 all four stages ran on the host
+    (r2 driver: 3.835 ms/img)."""
+    from ood_in_object_detection_tpu.ood.unknown import (
+        eul_frontend_batched, unknown_proposals_for_image)
 
     rng = jax.random.PRNGKey(1)
     images = jax.random.uniform(rng, (8, IMG, IMG, 3), jnp.float32)
     out = det.predict(images, conf_thres=0.25, pre_nms_k=PRE_NMS_K)
-    p3 = np.asarray(out.neck[0], np.float32)
-    boxes = np.asarray(out.det.boxes, np.float32)
-    valid = np.asarray(out.det.valid)
-    ratio_pad = ((1.0, 1.0), (0.0, 0.0))
+    # 64 maps amortize the tunnel's ~25 ms dispatch as a real sweep would.
+    # P3 stays ON DEVICE for the front-end (as in the pipeline, where it is
+    # a fresh predict output) — only the (B, H, W) saliency crosses the wire.
+    p3_dev = jnp.tile(out.neck[0].astype(jnp.float32), (8, 1, 1, 1))
+    p3 = np.asarray(p3_dev)
+    boxes = np.tile(np.asarray(out.det.boxes, np.float32), (8, 1, 1))
+    valid = np.tile(np.asarray(out.det.valid), (8, 1))
+    ratio_pads = [((1.0, 1.0), (0.0, 0.0))] * len(p3)
 
     n_imgs, reps = p3.shape[0], 4
+    eul_frontend_batched(p3_dev, ratio_pads)  # compile outside the timed loop
     t0 = time.perf_counter()
     for _ in range(reps):
+        fe = eul_frontend_batched(p3_dev, ratio_pads)
         for b in range(n_imgs):
-            unknown_proposals_for_image(p3[b], ratio_pad, boxes[b][valid[b]])
+            unknown_proposals_for_image(p3[b], ratio_pads[b],
+                                        boxes[b][valid[b]],
+                                        precomputed=fe[b])
     ms = (time.perf_counter() - t0) / (reps * n_imgs) * 1000.0
     print(json.dumps({
         "metric": "eul_host_ms_per_image",

@@ -33,7 +33,7 @@ from ..eval.owod_protocol import UNKNOWN_CLASS_INDEX, compute_metrics
 from .distance import l2_normalize_rows, pairwise_distance
 from .matching import match_predictions_to_targets
 from .methods import DistanceOODMethod, FusionOODMethod, LogitsOODMethod
-from .unknown import unknown_proposals_for_image
+from .unknown import eul_frontend_batched, unknown_proposals_for_image
 
 log = logging.getLogger(__name__)
 
@@ -377,6 +377,10 @@ def evaluate_method(
         valid = _np(out.det.valid)
         # P3 is ~100 MB/batch; only pull it to host when EUL needs it
         p3 = _np(out.p3) if enhanced_unk_localization else None
+        # batched device saliency+thresholds (one jitted call per batch);
+        # None when the configured methods only have host implementations
+        eul_fe = (eul_frontend_batched(out.p3, batch["ratio_pad"])
+                  if enhanced_unk_localization else None)
         bmask = batch.get("batch_mask", np.ones(len(boxes), bool))
         for i in range(len(boxes)):
             if not bmask[i]:
@@ -402,6 +406,7 @@ def evaluate_method(
                     rank_score_fn=_make_rank_fn(dm, p3[i]),
                     unk_prop_thr=getattr(dm, "unk_prop_thr", None),
                     class_thresholds=cls_thr,
+                    precomputed=eul_fe[i] if eul_fe is not None else None,
                 )
                 if len(props):
                     b = np.concatenate([b, props.astype(np.float64)])

@@ -187,10 +187,21 @@ def fast_otsu_pyramid(image: np.ndarray, num_classes: int) -> List[float]:
     return sorted(set(out))
 
 
+def _recursive_otsu_tricked(im: np.ndarray, n: int) -> List[float]:
+    """recursive_otsu + the reference's OTSU_RECURSIVE_TRICK_FOR_4_THRS:
+    with 4 requested thresholds (5 classes) keep only the middle slice
+    [2:-1] of the sorted unique thresholds
+    (reference unknown_localization_utils.py:186-189)."""
+    thrs = recursive_otsu(im, n)
+    if CUSTOM_HYP.unk.OTSU_RECURSIVE_TRICK_FOR_4_THRS and n == 5:
+        thrs = thrs[2:-1]
+    return thrs
+
+
 def select_thresholding(name: str, num_thresholds: int) -> Callable[[np.ndarray], List[float]]:
     n = num_thresholds + 1  # reference NUM_THRS = NUM_THRESHOLDS + 1 classes
     table = {
-        "recursive_otsu": lambda im: recursive_otsu(im, n),
+        "recursive_otsu": lambda im: _recursive_otsu_tricked(im, n),
         "multithreshold_otsu": lambda im: multi_threshold_otsu(im, n),
         "k_means": lambda im: k_means_thresholding(im, n),
         "quantile": lambda im: quantile_thresholding(im, n),
@@ -211,18 +222,38 @@ _EIGHT_CONN = np.ones((3, 3), int)
 def extract_boxes_from_saliency(saliency: np.ndarray, thresholds: Sequence[float]) -> List[np.ndarray]:
     """Per threshold: binarize, 8-connected label, one xyxy box per region
     ([x_min, y_min, x_max, y_max] with exclusive max, matching regionprops
-    bbox; reference unknown_localization_utils.py:16-39)."""
+    bbox; reference unknown_localization_utils.py:16-39).
+
+    Boxes come from a sort+segment-reduce over the labelled pixels instead of
+    ``ndimage.find_objects`` + a per-region Python loop (~2.2x faster at the
+    typical 80x80/500-region load). ``np.nonzero`` emits raster order and the
+    stable argsort preserves it within each label, so each group's rows are
+    y-ascending: y1/y2 are the group's first/last row, x1/x2 segment min/max.
+    Region order stays ndimage label order (== find_objects order)."""
+    return extract_boxes_from_masks([saliency > t for t in thresholds])
+
+
+def extract_boxes_from_masks(masks) -> List[np.ndarray]:
+    """One xyxy box per 8-connected region of each binary mask (see
+    ``extract_boxes_from_saliency``; masks may come pre-thresholded from the
+    device front-end)."""
     out = []
-    for t in thresholds:
-        mask = saliency > t
+    for mask in masks:
         lab, n = ndimage.label(mask, structure=_EIGHT_CONN)
-        boxes = []
-        for sl in ndimage.find_objects(lab):
-            if sl is None:
-                continue
-            ys, xs = sl
-            boxes.append([xs.start, ys.start, xs.stop, ys.stop])
-        out.append(np.asarray(boxes, np.float32).reshape(-1, 4))
+        if n == 0:
+            out.append(np.empty((0, 4), np.float32))
+            continue
+        ys, xs = np.nonzero(lab)
+        l = lab[ys, xs]
+        order = np.argsort(l, kind="stable")
+        l_s, ys_s, xs_s = l[order], ys[order], xs[order]
+        starts = np.searchsorted(l_s, np.arange(1, n + 1))
+        ends = np.append(starts[1:], len(l_s))
+        x1 = np.minimum.reduceat(xs_s, starts)
+        x2 = np.maximum.reduceat(xs_s, starts)
+        y1 = ys_s[starts]
+        y2 = ys_s[ends - 1]
+        out.append(np.stack([x1, y1, x2 + 1, y2 + 1], 1).astype(np.float32))
     return out
 
 
@@ -376,6 +407,56 @@ def postprocess_unk_proposals(
     return all_props, all_ranks
 
 
+def eul_frontend_batched(
+    p3_batch: np.ndarray,    # (B, H, W, C) padded stride-8 neck feature maps
+    ratio_pads: Sequence,    # B x ((r, r), (dw, dh)) from letterbox
+    hyp: Optional[UnkEnhancementParams] = None,
+) -> Optional[List[Tuple[np.ndarray, List[float]]]]:
+    """Batched DEVICE saliency+thresholds+binarization for the whole batch in
+    one jitted call (``unknown_device.eul_frontend_masks``); returns
+    per-image (cropped bool masks (T, h, w), sorted unique thresholds) ready
+    to feed ``unknown_proposals_for_image(precomputed=...)``, or None when
+    the configured summarizer/thresholder has no device path (caller falls
+    back to the host implementations transparently)."""
+    hyp = hyp or CUSTOM_HYP.unk
+    from .unknown_device import (DEVICE_SUMMARIZERS, DEVICE_THRESHOLDERS,
+                                 eul_frontend_masks)
+
+    if (hyp.SUMMARIZATION_METHOD not in DEVICE_SUMMARIZERS
+            or hyp.THRESHOLDING_METHOD not in DEVICE_THRESHOLDERS):
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    stride = STRIDES_RATIO[0]
+    pads = np.array([[int(dw / stride), int(dh / stride)]
+                     for (_, (dw, dh)) in ratio_pads], np.int32)
+    # the device finishes the threshold COMPARE and ships bit-packed masks:
+    # 32x less wire traffic than the f32 saliency, and ONE device_get round
+    # trip (the host link may be a ~25 ms-latency tunnel)
+    packed, thr = jax.device_get(eul_frontend_masks(
+        jnp.asarray(p3_batch), jnp.asarray(pads),
+        summarizer=hyp.SUMMARIZATION_METHOD,
+        method=hyp.THRESHOLDING_METHOD,
+        num_thresholds=hyp.NUM_THRESHOLDS))
+    H, W = p3_batch.shape[1:3]
+    out = []
+    trick = (hyp.OTSU_RECURSIVE_TRICK_FOR_4_THRS
+             and hyp.THRESHOLDING_METHOD == "recursive_otsu"
+             and hyp.NUM_THRESHOLDS + 1 == 5)
+    for i in range(len(packed)):
+        px, py = int(pads[i, 0]), int(pads[i, 1])
+        finite = thr[i][np.isfinite(thr[i])]  # ascending prefix
+        vals, first_idx = np.unique(finite, return_index=True)
+        masks = np.unpackbits(packed[i], axis=-1)[..., :W].astype(bool)
+        sel = masks[first_idx][:, py : H - py, px : W - px]
+        ts = [float(v) for v in vals]
+        if trick:  # reference unknown_localization_utils.py:186-189
+            ts, sel = ts[2:-1], sel[2:-1]
+        out.append((sel, ts))
+    return out
+
+
 def unknown_proposals_for_image(
     p3_feat: np.ndarray,          # (H, W, C) padded stride-8 neck feature map
     ratio_pad,                    # ((r, r), (dw, dh)) from letterbox
@@ -384,6 +465,7 @@ def unknown_proposals_for_image(
     hyp: Optional[UnkEnhancementParams] = None,
     unk_prop_thr: Optional[float] = None,
     class_thresholds: Optional[np.ndarray] = None,
+    precomputed: Optional[Tuple[np.ndarray, List[float]]] = None,
 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """Full EUL pass for one image -> (proposals xyxy in image pixels,
     decisions (all 0 = unknown), rank scores or None).
@@ -391,6 +473,10 @@ def unknown_proposals_for_image(
     Mirrors compute_extra_possible_unkwnown_bboxes_and_decision
     (ood_utils.py:641-898): stride-8, unpad by ratio_pad/8, saliency,
     thresholds, CC boxes, postprocess, scale x8 back to image space.
+
+    ``precomputed``: (cropped saliency, thresholds) from the batched device
+    front-end (``eul_frontend_batched``) — skips the host summarizer and
+    thresholding, the two stages profiling shows dominate the host cost.
     """
     hyp = hyp or CUSTOM_HYP.unk
     stride = STRIDES_RATIO[0]
@@ -400,10 +486,17 @@ def unknown_proposals_for_image(
     H, W = p3_feat.shape[:2]
     unpadded = p3_feat[py : H - py, px : W - px]
 
-    saliency = select_summarizer(hyp.SUMMARIZATION_METHOD)(unpadded)
-    thr_fn = select_thresholding(hyp.THRESHOLDING_METHOD, hyp.NUM_THRESHOLDS)
-    thresholds = thr_fn(saliency)
-    boxes_per_thr = extract_boxes_from_saliency(saliency, thresholds)
+    if precomputed is not None:
+        sal_or_masks, thresholds = precomputed
+        if sal_or_masks.ndim == 3:  # (T, h, w) bool masks from the device
+            boxes_per_thr = extract_boxes_from_masks(sal_or_masks)
+        else:                       # (h, w) saliency
+            boxes_per_thr = extract_boxes_from_saliency(sal_or_masks, thresholds)
+    else:
+        saliency = select_summarizer(hyp.SUMMARIZATION_METHOD)(unpadded)
+        thr_fn = select_thresholding(hyp.THRESHOLDING_METHOD, hyp.NUM_THRESHOLDS)
+        thresholds = thr_fn(saliency)
+        boxes_per_thr = extract_boxes_from_saliency(saliency, thresholds)
 
     props, ranks = postprocess_unk_proposals(
         boxes_per_thr,

@@ -219,6 +219,41 @@ def install_full_shim():
     sk.color = _stub("skimage.color", ["rgb2gray"])
     sk.transform = _stub("skimage.transform", ["resize"])
     umap = _stub("umap", ["UMAP"])
+
+    # REAL stand-ins for the three skimage calls on the reference's EUL path
+    # (unknown_localization_utils.py:31-32,183) so that path is executable as
+    # a golden oracle: our threshold_otsu implements the same 256-bin
+    # inter-class-variance definition skimage does, and skimage.measure.label
+    # defaults to full connectivity (= 8-connected for 2D) which
+    # scipy.ndimage.label reproduces with a ones((3,3)) structure;
+    # regionprops is needed only for .bbox = (minr, minc, maxr, maxc).
+    import numpy as np
+    from scipy import ndimage as _ndi
+
+    from ood_in_object_detection_tpu.ood.unknown import threshold_otsu as _otsu
+
+    sk.filters.threshold_otsu = lambda image: _otsu(np.asarray(image))
+
+    def _sk_label(mask):
+        lab, _ = _ndi.label(np.asarray(mask), structure=np.ones((3, 3), int))
+        return lab
+
+    class _Region:
+        __slots__ = ("bbox",)
+
+        def __init__(self, bbox):
+            self.bbox = bbox
+
+    def _sk_regionprops(lab):
+        out = []
+        for sl in _ndi.find_objects(np.asarray(lab)):
+            if sl is None:
+                continue
+            out.append(_Region((sl[0].start, sl[1].start, sl[0].stop, sl[1].stop)))
+        return out
+
+    sk.measure.label = _sk_label
+    sk.measure.regionprops = _sk_regionprops
     del hdb, sk, umap
 
 

@@ -528,3 +528,183 @@ def test_owod_protocol_parity_unknown_only(ref):
     for k in ref_m:
         np.testing.assert_allclose(float(ours[k]), float(ref_m[k]),
                                    rtol=1e-6, atol=1e-8, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# EUL: the reference's own unknown-localization code cross-executed
+# (unknown_localization_utils.py summarizers/thresholds/CC-boxes via real
+# skimage stand-ins in the shim; ood_utils.py:934-1174 postprocess)
+# ---------------------------------------------------------------------------
+
+
+def test_eul_saliency_thresholds_boxes_parity(ref):
+    """Reference saliency summarizers (CHW), recursive-Otsu/quantile
+    thresholding, and CC box extraction, executed on shared inputs, must
+    match our HWC/numpy implementations exactly."""
+    import unknown_localization_utils as ulu
+
+    from ood_in_object_detection_tpu.ood import unknown as unk
+
+    rng = np.random.default_rng(3)
+    ft_chw = rng.normal(0, 1, (12, 20, 24))
+    ft_chw[:, 6:12, 8:16] += 2.5
+    ft_hwc = np.transpose(ft_chw, (1, 2, 0))
+    for name in sorted(unk.SUMMARIZERS):
+        ref_sal = ulu.select_ftmaps_summarization_method(name)(ft_chw)
+        our_sal = unk.select_summarizer(name)(ft_hwc)
+        np.testing.assert_allclose(our_sal, ref_sal, rtol=1e-6, atol=1e-9,
+                                   err_msg=name)
+
+    sal = ulu.mean_absolute_deviation_of_ftmaps(ft_chw)
+    ref_thr = ulu.recursive_otsu(sal, num_classes=4)
+    np.testing.assert_allclose(unk.recursive_otsu(sal, 4), ref_thr,
+                               rtol=1e-12)
+    np.testing.assert_allclose(unk.quantile_thresholding(sal, 4),
+                               ulu.quantile_thresholding(sal, 4), rtol=1e-12)
+
+    ref_boxes = ulu.extract_bboxes_from_saliency_map_and_thresholds(
+        sal, ref_thr)
+    our_boxes = unk.extract_boxes_from_saliency(sal, ref_thr)
+    assert len(ref_boxes) == len(our_boxes)
+    for rb, ob in zip(ref_boxes, our_boxes):
+        np.testing.assert_array_equal(
+            ob, rb.numpy().reshape(-1, 4).astype(np.float32))
+
+
+def test_eul_otsu_trick_parity(ref):
+    """OTSU_RECURSIVE_TRICK_FOR_4_THRS (5 classes -> keep sorted-unique
+    [2:-1], reference unknown_localization_utils.py:186-189)."""
+    import custom_hyperparams as ref_hyp
+    import unknown_localization_utils as ulu
+
+    from ood_in_object_detection_tpu.core.config import CUSTOM_HYP
+    from ood_in_object_detection_tpu.ood import unknown as unk
+
+    rng = np.random.default_rng(5)
+    sal = rng.normal(0, 1, (30, 30))
+    sal[5:15, 5:15] += 3.0
+    old_ref = ref_hyp.CUSTOM_HYP.unk.OTSU_RECURSIVE_TRICK_FOR_4_THRS
+    old_our = CUSTOM_HYP.unk.OTSU_RECURSIVE_TRICK_FOR_4_THRS
+    try:
+        ref_hyp.CUSTOM_HYP.unk.OTSU_RECURSIVE_TRICK_FOR_4_THRS = True
+        CUSTOM_HYP.unk.OTSU_RECURSIVE_TRICK_FOR_4_THRS = True
+        ref_thr = ulu.recursive_otsu(sal, num_classes=5)
+        our_thr = unk.select_thresholding("recursive_otsu", 4)(sal)
+        assert len(ref_thr) > 0
+        np.testing.assert_allclose(our_thr, ref_thr, rtol=1e-12)
+    finally:
+        ref_hyp.CUSTOM_HYP.unk.OTSU_RECURSIVE_TRICK_FOR_4_THRS = old_ref
+        CUSTOM_HYP.unk.OTSU_RECURSIVE_TRICK_FOR_4_THRS = old_our
+
+
+def _set_unk_hyp(unk_obj, rank_op, nms):
+    """Apply the shared EUL-postprocess config to a CUSTOM_HYP.unk tree
+    (same field names on both frameworks) and return the old values."""
+    fields = {
+        "USE_HEURISTICS": True, "USE_SIMPLE_HEURISTICS": True,
+        "USE_FIRST_THRESHOLD": True, "MIN_BOX_SIZE": 2,
+        "MAX_BOX_SIZE_PERCENT": 0.9, "MAX_IOU_WITH_PREDS": 0.3,
+        "MAX_INTERSECTION_W_PREDS": 0.5, "RANK_BOXES": True,
+    }
+    rank_fields = {
+        "RANK_BOXES_OPERATION": rank_op, "NMS": nms,
+        "MAX_NUM_UNK_BOXES_PER_IMAGE": 5,
+        "GET_BOXES_WITH_GREATER_RANK": False,
+        "USE_OOD_THR_TO_REMOVE_PROPS": False,
+        "USE_UNK_PROPOSALS_THR": False,
+    }
+    old = {k: getattr(unk_obj, k) for k in fields}
+    old_rank = {k: getattr(unk_obj.rank, k) for k in rank_fields}
+    for k, v in fields.items():
+        setattr(unk_obj, k, v)
+    for k, v in rank_fields.items():
+        setattr(unk_obj.rank, k, v)
+    return old, old_rank
+
+
+def _restore_unk_hyp(unk_obj, old):
+    for k, v in old[0].items():
+        setattr(unk_obj, k, v)
+    for k, v in old[1].items():
+        setattr(unk_obj.rank, k, v)
+
+
+@pytest.mark.parametrize("rank_op,nms", [("mean", 0.5), ("entropy", 0.0)])
+def test_eul_postprocess_parity(ref, rank_op, nms):
+    """Full EUL pass cross-executed: shared saliency/thresholds/raw CC boxes
+    feed (a) the reference's postprocess_unk_bboxes (heuristics, per-class
+    centroid ranking via its own roi_align+pairwise distances, NMS/sort, cap
+    — ood_utils.py:934-1174) and (b) our unknown_proposals_for_image; final
+    proposals (image pixels) and rank scores must match."""
+    import custom_hyperparams as ref_hyp
+    import torch
+    import unknown_localization_utils as ulu
+
+    from ood_in_object_detection_tpu.core.config import CUSTOM_HYP
+    from ood_in_object_detection_tpu.ood.methods import DistanceOODMethod
+    from ood_in_object_detection_tpu.ood.pipeline import _make_rank_fn
+    from ood_in_object_detection_tpu.ood.unknown import (
+        unknown_proposals_for_image)
+
+    rng = np.random.default_rng(17)
+    nc, C, H, W = 4, 16, 18, 18
+    px = py = 2  # unpadded 14x14: inside the routed RoI exact-sampling zone
+    p3_chw = rng.normal(0, 0.3, (C, H, W)).astype(np.float32)
+    p3_chw[:, 5:9, 4:9] += 2.0
+    p3_chw[:, 10:14, 10:15] += 1.2
+    p3_hwc = np.transpose(p3_chw, (1, 2, 0)).copy()
+    # two predictions in padded-image pixels (stride 8), placed away from
+    # the saliency blobs so the IoU/intersection heuristics keep some
+    # proposals alive while still exercising their math
+    preds_img = np.array([[8.0, 8.0, 26.0, 26.0],
+                          [104.0, 20.0, 136.0, 44.0]], np.float32)
+
+    # shared clusters: every class has stride-0 centroids (keeps the
+    # reference's filtered-row closest-cluster indexing == class id)
+    clusters = [[rng.normal(0, 1, (rng.integers(1, 4), C)).astype(np.float32),
+                 np.empty(0, np.float32), np.empty(0, np.float32)]
+                for _ in range(nc)]
+
+    rm = ref.L2DistanceOneClusterPerStride(
+        cluster_method="one", cluster_optimization_metric="silhouette",
+        agg_method="mean", ind_info_creation_option="valid_preds_one_stride",
+        which_internal_activations="roi_aligned_ftmaps",
+        iou_threshold_for_matching=0.5, min_conf_threshold_train=0.15,
+        min_conf_threshold_test=0.15)
+    rm.clusters = [[c if c.size else [] for c in row] for row in clusters]
+
+    om = DistanceOODMethod.from_name("L2_cl_stride")
+    om.clusters = [[c for c in row] for row in clusters]
+
+    old_ref = _set_unk_hyp(ref_hyp.CUSTOM_HYP.unk, rank_op, nms)
+    old_our = _set_unk_hyp(CUSTOM_HYP.unk, rank_op, nms)
+    try:
+        # shared stage-1: saliency + thresholds + raw CC boxes (parity of
+        # these is test_eul_saliency_thresholds_boxes_parity's job)
+        crop = p3_chw[:, py:H - py, px:W - px]
+        sal = ulu.mean_absolute_deviation_of_ftmaps(crop)
+        thr = ulu.recursive_otsu(sal, num_classes=4)
+        boxes_per_thr = ulu.extract_bboxes_from_saliency_map_and_thresholds(
+            sal, thr)
+        ref_props, ref_ranks = rm.postprocess_unk_bboxes(
+            [b.reshape(-1, 4).float() for b in boxes_per_thr],
+            (px, py), (H - 2 * py, W - 2 * px),
+            torch.from_numpy(preds_img / 8.0), [],
+            torch.from_numpy(p3_chw), 0)
+        ref_props = ref_props.numpy() * 8.0  # driver scales back (:892)
+
+        our_props, our_dec, our_ranks = unknown_proposals_for_image(
+            p3_hwc, ((1.0, 1.0), (float(px * 8), float(py * 8))),
+            preds_img, rank_score_fn=_make_rank_fn(om, p3_hwc),
+            hyp=CUSTOM_HYP.unk)
+    finally:
+        _restore_unk_hyp(ref_hyp.CUSTOM_HYP.unk, old_ref)
+        _restore_unk_hyp(CUSTOM_HYP.unk, old_our)
+
+    assert len(ref_props) > 0, "degenerate scenario: nothing survived"
+    assert (our_dec == 0).all()
+    np.testing.assert_allclose(our_props, ref_props, rtol=1e-4, atol=1e-3)
+    # ranks carry f32 RoI+distance math vs the reference's f64 sklearn
+    # pairwise path — ~2e-4 relative is the expected dtype gap
+    np.testing.assert_allclose(our_ranks, np.asarray(ref_ranks),
+                               rtol=1e-3, atol=1e-4)

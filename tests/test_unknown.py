@@ -180,3 +180,113 @@ def test_use_ood_thr_gate_keeps_close_props():
     # gate keeps dist < thr[closest]: 0.2<0.5 keep, 0.4<0.5 keep, 0.9 drop
     assert len(out) == 2
     np.testing.assert_allclose(sorted(ranks.tolist()), [0.2, 0.4])
+
+
+# ---------------------------------------------------------------------------
+# Device front-end (unknown_device.py) vs host implementations
+# ---------------------------------------------------------------------------
+
+
+def _device_frontend(feat_batch, pads_cells, summarizer, method, nthr):
+    import jax.numpy as jnp
+
+    from ood_in_object_detection_tpu.ood.unknown_device import eul_frontend
+
+    return eul_frontend(jnp.asarray(feat_batch), jnp.asarray(pads_cells),
+                        summarizer=summarizer, method=method,
+                        num_thresholds=nthr)
+
+
+def test_device_summarizers_match_host(rng):
+    """Every device summarizer must reproduce the host (numpy) value inside
+    the unpadded crop; mean-subtracting families use the crop mean."""
+    from ood_in_object_detection_tpu.ood.unknown import SUMMARIZERS
+    from ood_in_object_detection_tpu.ood.unknown_device import (
+        DEVICE_SUMMARIZERS)
+
+    feat = rng.normal(0, 1, (2, 16, 20, 8)).astype(np.float32)
+    pads = np.array([[2, 1], [0, 3]], np.int32)  # (px, py) per image
+    assert DEVICE_SUMMARIZERS == frozenset(SUMMARIZERS)
+    for name in sorted(DEVICE_SUMMARIZERS):
+        sal, _ = _device_frontend(feat, pads, name, "quantile", 3)
+        sal = np.asarray(sal)
+        for i in range(2):
+            px, py = pads[i]
+            crop = feat[i, py:16 - py, px:20 - px]
+            host = SUMMARIZERS[name](crop)
+            dev = sal[i, py:16 - py, px:20 - px]
+            np.testing.assert_allclose(dev, host, rtol=2e-4, atol=2e-4,
+                                       err_msg=name)
+
+
+def test_device_recursive_otsu_matches_host(rng):
+    feat = rng.normal(0, 1, (3, 16, 16, 8)).astype(np.float32)
+    feat[0, 4:10, 4:10] += 4.0  # bimodal image
+    pads = np.zeros((3, 2), np.int32)
+    sal, thr = _device_frontend(feat, pads,
+                                "mean_absolute_deviation_of_ftmaps",
+                                "recursive_otsu", 3)
+    sal, thr = np.asarray(sal), np.asarray(thr)
+    for i in range(3):
+        host = recursive_otsu(sal[i].astype(np.float64), 4)
+        dev = sorted({float(t) for t in thr[i] if np.isfinite(t)})
+        assert len(dev) == len(host)
+        span = np.ptp(sal[i])
+        np.testing.assert_allclose(dev, host, atol=span / 256 * 0.5 + 1e-5)
+
+
+def test_device_quantile_matches_host(rng):
+    feat = rng.normal(0, 1, (2, 12, 12, 4)).astype(np.float32)
+    pads = np.array([[1, 2], [0, 0]], np.int32)
+    sal, thr = _device_frontend(feat, pads, "sum_of_ftmaps", "quantile", 3)
+    sal, thr = np.asarray(sal), np.asarray(thr)
+    for i in range(2):
+        px, py = pads[i]
+        crop = sal[i, py:12 - py, px:12 - px]
+        host = quantile_thresholding(crop.astype(np.float64), 4)
+        dev = sorted({float(t) for t in thr[i] if np.isfinite(t)})
+        np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
+
+
+def test_device_otsu_degenerate_constant_map():
+    """Constant saliency = zero ptp: host recursion stops with no thresholds,
+    device must emit all-NaN (and NaN subtrees after a real root split)."""
+    feat = np.ones((1, 8, 8, 4), np.float32)
+    pads = np.zeros((1, 2), np.int32)
+    _, thr = _device_frontend(feat, pads, "sum_of_ftmaps",
+                              "recursive_otsu", 3)
+    assert not np.isfinite(np.asarray(thr)).any()
+
+
+def test_eul_frontend_batched_end_to_end(rng):
+    """Full EUL via the batched device front-end == full host pass (same
+    proposals) on a blob image, including nonzero letterbox pads."""
+    from ood_in_object_detection_tpu.ood.unknown import eul_frontend_batched
+
+    H = W = 16
+    feat = rng.normal(0, 0.05, (2, H, W, 8)).astype(np.float32)
+    feat[0, 5:9, 6:10] += 3.0
+    feat[1, 2:6, 2:12] += 2.0
+    ratio_pads = [((1.0, 1.0), (16.0, 8.0)), ((1.0, 1.0), (0.0, 0.0))]
+    hyp = UnkEnhancementParams()
+    hyp.RANK_BOXES = False
+    fe = eul_frontend_batched(feat, ratio_pads, hyp=hyp)
+    assert fe is not None and len(fe) == 2
+    for i in range(2):
+        props_dev, dec, _ = unknown_proposals_for_image(
+            feat[i], ratio_pads[i], np.empty((0, 4)), hyp=hyp,
+            precomputed=fe[i])
+        props_host, _, _ = unknown_proposals_for_image(
+            feat[i], ratio_pads[i], np.empty((0, 4)), hyp=hyp)
+        assert (dec == 0).all()
+        np.testing.assert_array_equal(props_dev, props_host)
+
+
+def test_eul_frontend_batched_host_fallback():
+    """Methods without a device path return None (caller falls back)."""
+    from ood_in_object_detection_tpu.ood.unknown import eul_frontend_batched
+
+    hyp = UnkEnhancementParams()
+    hyp.THRESHOLDING_METHOD = "k_means"
+    assert eul_frontend_batched(np.zeros((1, 8, 8, 4), np.float32),
+                                [((1.0, 1.0), (0.0, 0.0))], hyp=hyp) is None
