@@ -35,6 +35,14 @@ class FusionParams:
     LOGITS_USE_PIECEWISE_FUNCTION: bool = True
     DISTANCE_USE_FROM_ZERO_TO_THR: bool = False
     DISTANCE_USE_IN_DISTRIBUTION_TO_DEFINE_LIMITS: bool = True
+    # The reference's per-stride distance compute_indness
+    # (ood_utils.py:1598-1617) tests isinstance(thresholds[cls], float) on
+    # the per-CLASS list (never float), so under its shipped defaults it
+    # returns -1 for EVERY box. Our default implements the piecewise math
+    # that branch clearly intends; set True to replicate the reference's
+    # literal executable behavior (cross-executed in
+    # tests/test_reference_pipeline_parity.py).
+    DISTANCE_INDNESS_REFERENCE_QUIRK: bool = False
 
 
 @dataclass

@@ -143,7 +143,12 @@ class LogitsOODMethod:
         return self._score(logits, cls)
 
     def indness(self, logits: jnp.ndarray, cls: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-        """Piecewise-linear INDness in [-1, 1] (ood_utils.py:1224-1283)."""
+        """Piecewise-linear INDness in [-1, 1] (ood_utils.py:1224-1283).
+
+        Clipping follows CUSTOM_HYP.fusion.CLIP_FUSION_SCORES (ref :1256).
+        """
+        from ..core.config import CUSTOM_HYP
+
         thr = table_lookup(self.packed_thresholds(), cls)
         mx = table_lookup(jnp.asarray(self.max_score), cls)
         mn = table_lookup(jnp.asarray(self.min_score), cls)
@@ -151,7 +156,8 @@ class LogitsOODMethod:
         pos = (s - thr) / jnp.maximum(mx - thr, 1e-12)
         neg = (s - thr) / jnp.maximum(thr - mn, 1e-12)
         ind = jnp.where(s > thr, pos, jnp.where(s < thr, neg, 0.0))
-        ind = jnp.clip(ind, -1.0, 1.0)
+        if CUSTOM_HYP.fusion.CLIP_FUSION_SCORES:
+            ind = jnp.clip(ind, -1.0, 1.0)
         return jnp.where(valid, ind, 0.0)
 
 
@@ -354,14 +360,41 @@ class DistanceOODMethod:
 
     def indness_from_distances(self, dist: jnp.ndarray, cls: jnp.ndarray,
                                stride_idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-        """ood_utils.py:1584-1650 (DISTANCE_USE_IN_DISTRIBUTION_TO_DEFINE_LIMITS)."""
+        """Distance INDness (ood_utils.py:1584-1650), all reference modes.
+
+        - DISTANCE_USE_FROM_ZERO_TO_THR (ref :1596-1599): the linear map
+          ``a*d + (1-a)`` with ``a = -1/(thr-1)`` — 0 at the threshold,
+          assumes distance scales > 1. The reference crashes on unfit
+          (empty-list) thresholds here; we return -1 instead.
+        - DISTANCE_USE_IN_DISTRIBUTION_TO_DEFINE_LIMITS (default, ref
+          :1601-1640): piecewise-linear between min/max InD distance and the
+          threshold. The reference's literal code always returns -1 on this
+          branch (isinstance check on the per-class list, ref :1600) — set
+          CUSTOM_HYP.fusion.DISTANCE_INDNESS_REFERENCE_QUIRK to replicate
+          that; the default implements the intended math.
+        - Clipping per CLIP_FUSION_SCORES (ref :1642).
+        """
+        from ..core.config import CUSTOM_HYP
+
+        fus = CUSTOM_HYP.fusion
         thr = table_lookup(self.packed_thresholds(), cls, stride_idx)
-        mx = table_lookup(jnp.asarray(self.max_dist), cls, stride_idx)
-        mn = table_lookup(jnp.asarray(self.min_dist), cls, stride_idx)
-        above = -(dist - thr) / jnp.maximum(mx - thr, 1e-12)
-        below = (thr - dist) / jnp.maximum(thr - mn, 1e-12)
-        ind = jnp.where(dist > thr, above, jnp.where(dist < thr, below, 0.0))
-        ind = jnp.clip(ind, -1.0, 1.0)
+        if fus.DISTANCE_USE_FROM_ZERO_TO_THR:
+            # thr == 1 is degenerate (the reference raises ZeroDivisionError
+            # there); treat it like an unfit threshold -> max OoD
+            den = thr - 1.0
+            a = -1.0 / jnp.where(jnp.abs(den) < 1e-9, 1.0, den)
+            ind = jnp.where(jnp.abs(den) < 1e-9, -1.0,
+                            a * dist + (1.0 - a))
+        elif fus.DISTANCE_INDNESS_REFERENCE_QUIRK:
+            ind = jnp.full_like(dist, -1.0)
+        else:
+            mx = table_lookup(jnp.asarray(self.max_dist), cls, stride_idx)
+            mn = table_lookup(jnp.asarray(self.min_dist), cls, stride_idx)
+            above = -(dist - thr) / jnp.maximum(mx - thr, 1e-12)
+            below = (thr - dist) / jnp.maximum(thr - mn, 1e-12)
+            ind = jnp.where(dist > thr, above, jnp.where(dist < thr, below, 0.0))
+        if fus.CLIP_FUSION_SCORES:
+            ind = jnp.clip(ind, -1.0, 1.0)
         ind = jnp.where(jnp.isnan(thr), -1.0, ind)  # no thr => max OoD (ref :1640)
         return jnp.where(valid, ind, 0.0)
 

@@ -708,3 +708,195 @@ def test_eul_postprocess_parity(ref, rank_op, nms):
     # pairwise path — ~2e-4 relative is the expected dtype gap
     np.testing.assert_allclose(our_ranks, np.asarray(ref_ranks),
                                rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fusion: INDness mappings + decision fusion (ood_utils.py:1210-1283 logits,
+# 1498-1650 distance, 2906-2940 two-way fuse, 3282-3301 triple majority)
+# ---------------------------------------------------------------------------
+
+_LOGITS_KW = dict(per_class=True, per_stride=False,
+                  iou_threshold_for_matching=0.5,
+                  min_conf_threshold_train=0.15, min_conf_threshold_test=0.15,
+                  use_values_before_sigmoid=True)
+_DIST_KW = dict(cluster_method="one", cluster_optimization_metric="silhouette",
+                agg_method="mean",
+                ind_info_creation_option="valid_preds_one_stride",
+                which_internal_activations="roi_aligned_ftmaps",
+                iou_threshold_for_matching=0.5,
+                min_conf_threshold_train=0.15, min_conf_threshold_test=0.15)
+
+
+@pytest.mark.parametrize("clip", [True, False])
+def test_logits_indness_parity(ref, clip):
+    """compute_INDness_scores_on_results (ood_utils.py:1210-1283) vs our
+    LogitsOODMethod.indness: the piecewise score->[-1,1] map between
+    min/max InD score and the per-class threshold, with and without
+    CLIP_FUSION_SCORES."""
+    import torch
+
+    import custom_hyperparams as ref_hyp
+    from ood_in_object_detection_tpu.core.config import CUSTOM_HYP
+    from ood_in_object_detection_tpu.ood.methods import LogitsOODMethod
+
+    rng = np.random.default_rng(11)
+    nc, n_box = 4, 64
+    logits = rng.normal(0, 2, (n_box, nc)).astype(np.float32)
+    cls = rng.integers(0, nc, n_box)
+    logits[np.arange(n_box), cls] += 4.0
+
+    thr = [0.40, 0.55, 0.70, 0.50]
+    mn = [0.15, 0.20, 0.25, 0.10]
+    mx = [0.98, 0.95, 0.99, 0.97]
+
+    rm = ref.MSP(**_LOGITS_KW)
+    rm.thresholds = list(thr)
+    rm.min_score, rm.max_score = list(mn), list(mx)
+    res = SimpleNamespace(
+        boxes=SimpleNamespace(cls=torch.from_numpy(cls.astype(np.float32))),
+        extra_item=torch.from_numpy(logits))
+
+    om = LogitsOODMethod("MSP")
+    om.thresholds = list(thr)
+    om.min_score = np.asarray(mn, np.float32)
+    om.max_score = np.asarray(mx, np.float32)
+
+    old_ref = ref_hyp.CUSTOM_HYP.fusion.CLIP_FUSION_SCORES
+    old_our = CUSTOM_HYP.fusion.CLIP_FUSION_SCORES
+    try:
+        ref_hyp.CUSTOM_HYP.fusion.CLIP_FUSION_SCORES = clip
+        CUSTOM_HYP.fusion.CLIP_FUSION_SCORES = clip
+        ref_ind = rm.compute_INDness_scores_on_results([res], log)[0]
+        ours = np.asarray(om.indness(jnp.asarray(logits[None]),
+                                     jnp.asarray(cls[None].astype(np.int32)),
+                                     jnp.ones((1, n_box), bool)))[0]
+    finally:
+        ref_hyp.CUSTOM_HYP.fusion.CLIP_FUSION_SCORES = old_ref
+        CUSTOM_HYP.fusion.CLIP_FUSION_SCORES = old_our
+    np.testing.assert_allclose(ours, np.asarray(ref_ind), rtol=2e-4,
+                               atol=1e-6)
+
+
+def test_distance_indness_reference_quirk(ref):
+    """Under the shipped defaults the reference's per-stride distance
+    compute_indness returns -1 for EVERY box: ood_utils.py:1600 tests
+    isinstance(thresholds[cls], float) on the per-CLASS list (a list of 3
+    per-stride entries, never a float), so the 'no thresholds' fallback at
+    :1617 always fires. DISTANCE_INDNESS_REFERENCE_QUIRK=True replicates
+    this literal behavior; the default implements the math the dead branch
+    (:1601-1614) clearly intends."""
+    from ood_in_object_detection_tpu.core.config import CUSTOM_HYP
+    from ood_in_object_detection_tpu.ood.methods import DistanceOODMethod
+
+    rm = ref.L2DistanceOneClusterPerStride(**_DIST_KW)
+    rm.thresholds = [[0.5, 0.6, 0.7], [0.4, 0.9, 0.3]]
+    rm.max_dist = [[2.0] * 3] * 2
+    rm.min_dist = [[0.1] * 3] * 2
+    dists = np.array([0.2, 0.55, 1.5, 0.45], np.float32)
+    cls = np.array([0, 0, 1, 1], np.int32)
+    stride = np.array([0, 1, 2, 0], np.int32)
+    ref_ind = [rm.compute_indness(float(d), int(c), int(s))
+               for d, c, s in zip(dists, cls, stride)]
+    assert ref_ind == [-1] * 4  # the quirk, executed
+
+    om = DistanceOODMethod.from_name("L2_cl_stride")
+    om.thresholds = [[0.5, 0.6, 0.7], [0.4, 0.9, 0.3]]
+    om.max_dist = np.full((2, 3), 2.0, np.float32)
+    om.min_dist = np.full((2, 3), 0.1, np.float32)
+    old = CUSTOM_HYP.fusion.DISTANCE_INDNESS_REFERENCE_QUIRK
+    try:
+        CUSTOM_HYP.fusion.DISTANCE_INDNESS_REFERENCE_QUIRK = True
+        ours = np.asarray(om.indness_from_distances(
+            jnp.asarray(dists), jnp.asarray(cls), jnp.asarray(stride),
+            jnp.ones(4, bool)))
+    finally:
+        CUSTOM_HYP.fusion.DISTANCE_INDNESS_REFERENCE_QUIRK = old
+    np.testing.assert_array_equal(ours, np.asarray(ref_ind, np.float32))
+
+
+@pytest.mark.parametrize("clip", [True, False])
+def test_distance_indness_from_zero_parity(ref, clip):
+    """DISTANCE_USE_FROM_ZERO_TO_THR=True (ood_utils.py:1596-1599): the
+    linear a*d + (1-a), a = -1/(thr-1) map IS reachable in the reference
+    (unlike the in-distribution-limits branch) — cross-execute it on a
+    threshold grid spanning both slope regimes (thr>1 and thr<1)."""
+    import custom_hyperparams as ref_hyp
+    from ood_in_object_detection_tpu.core.config import CUSTOM_HYP
+    from ood_in_object_detection_tpu.ood.methods import DistanceOODMethod
+
+    thr_tab = [[3.0, 1.5, 2.2], [0.5, 4.0, 1.2]]
+    rm = ref.L2DistanceOneClusterPerStride(**_DIST_KW)
+    rm.thresholds = [list(r) for r in thr_tab]
+
+    rng = np.random.default_rng(23)
+    n = 48
+    dists = rng.uniform(0.0, 6.0, n).astype(np.float32)
+    cls = rng.integers(0, 2, n).astype(np.int32)
+    stride = rng.integers(0, 3, n).astype(np.int32)
+
+    om = DistanceOODMethod.from_name("L2_cl_stride")
+    om.thresholds = [list(r) for r in thr_tab]
+
+    def _set(hyp, zero, ind_lim, cl):
+        old = (hyp.DISTANCE_USE_FROM_ZERO_TO_THR,
+               hyp.DISTANCE_USE_IN_DISTRIBUTION_TO_DEFINE_LIMITS,
+               hyp.CLIP_FUSION_SCORES)
+        hyp.DISTANCE_USE_FROM_ZERO_TO_THR = zero
+        hyp.DISTANCE_USE_IN_DISTRIBUTION_TO_DEFINE_LIMITS = ind_lim
+        hyp.CLIP_FUSION_SCORES = cl
+        return old
+
+    old_ref = _set(ref_hyp.CUSTOM_HYP.fusion, True, False, clip)
+    old_our = _set(CUSTOM_HYP.fusion, True, False, clip)
+    try:
+        ref_ind = np.array([rm.compute_indness(float(d), int(c), int(s))
+                            for d, c, s in zip(dists, cls, stride)],
+                           np.float32)
+        ours = np.asarray(om.indness_from_distances(
+            jnp.asarray(dists), jnp.asarray(cls), jnp.asarray(stride),
+            jnp.ones(n, bool)))
+    finally:
+        _set(ref_hyp.CUSTOM_HYP.fusion, *old_ref)
+        _set(CUSTOM_HYP.fusion, *old_our)
+    np.testing.assert_allclose(ours, ref_ind, rtol=2e-6, atol=1e-6)
+
+
+def test_fusion_fuse_decisions_parity(ref):
+    """FusionMethod.fuse_ood_decisions (and/or/score, ood_utils.py:2906-2940)
+    and TripleFusionMethod majority voting (:3282-3301), cross-executed on
+    shared member outputs vs our fuse_decisions."""
+    from ood_in_object_detection_tpu.ood.methods import fuse_decisions
+
+    rng = np.random.default_rng(5)
+    lens = [5, 3, 7, 1]
+    dec1 = [rng.integers(0, 2, k).tolist() for k in lens]
+    dec2 = [rng.integers(0, 2, k).tolist() for k in lens]
+    dec3 = [rng.integers(0, 2, k).tolist() for k in lens]
+
+    for strat in ("and", "or"):
+        duck = SimpleNamespace(fusion_strategy=strat)
+        ref_fused = ref.FusionMethod.fuse_ood_decisions(duck, dec1, dec2)
+        for i in range(len(lens)):
+            ours = np.asarray(fuse_decisions(
+                strat, jnp.asarray(dec1[i]), jnp.asarray(dec2[i])))
+            np.testing.assert_array_equal(ours, np.asarray(ref_fused[i]),
+                                          err_msg=strat)
+
+    # score strategy fuses continuous INDness in [-1, 1] and binarizes >0
+    ind1 = [rng.uniform(-1, 1, k).tolist() for k in lens]
+    ind2 = [rng.uniform(-1, 1, k).tolist() for k in lens]
+    duck = SimpleNamespace(fusion_strategy="score")
+    ref_fused = ref.FusionMethod.fuse_ood_decisions(duck, ind1, ind2)
+    for i in range(len(lens)):
+        ours = np.asarray(fuse_decisions(
+            "score", jnp.asarray(ind1[i]), jnp.asarray(ind2[i])))
+        np.testing.assert_array_equal(ours, np.asarray(ref_fused[i]))
+
+    duck3 = SimpleNamespace(fusion_strategy="majority_voting")
+    ref_fused = ref.TripleFusionMethod.fuse_ood_decisions(
+        duck3, dec1, dec2, dec3)
+    for i in range(len(lens)):
+        ours = np.asarray(fuse_decisions(
+            "vote", jnp.asarray(dec1[i]), jnp.asarray(dec2[i]),
+            jnp.asarray(dec3[i])))
+        np.testing.assert_array_equal(ours, np.asarray(ref_fused[i]))
