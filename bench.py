@@ -46,8 +46,13 @@ PRE_NMS_K = 512
 NC = 20
 
 
-def device_loop_ms(pipeline, *args):
-    """Time `pipeline(*args, i) -> f32 scalar` on device; returns ms/iter."""
+def device_loop_ms(pipeline, *args, iters=None):
+    """Time `pipeline(*args, i) -> f32 scalar` on device; returns ms/iter.
+
+    `iters` overrides LOOP_ITERS — small per-iteration pipelines (batch-1
+    latency) need many iterations so the ~25 ms tunnel dispatch noise
+    amortizes out of the per-iter figure."""
+    n = LOOP_ITERS if iters is None else iters
 
     @jax.jit
     def bench_loop(args, iters):
@@ -58,13 +63,13 @@ def device_loop_ms(pipeline, *args):
 
     _ = float(bench_loop(args, 2))
     t0 = time.perf_counter()
-    _ = float(bench_loop(args, LOOP_ITERS))  # host fetch = sync
+    _ = float(bench_loop(args, n))  # host fetch = sync
     dt = time.perf_counter() - t0
     t1 = time.perf_counter()
     _ = float(bench_loop(args, 1))
     overhead = time.perf_counter() - t1
-    compute = max(dt - max(overhead - dt / LOOP_ITERS, 0.0), 1e-9)
-    return compute / LOOP_ITERS * 1000.0
+    compute = max(dt - max(overhead - dt / n, 0.0), 1e-9)
+    return compute / n * 1000.0
 
 
 def make_distance_method(neck_cmax: int):
@@ -284,12 +289,44 @@ def bench_train_step():
             traceback.print_exc()
 
 
+def bench_latency_b1():
+    """Interactive-serving latency: batch-1 u8 640px forward + fused detect
+    + NMS + MSP decide, ms per image ON THE CHIP (128-iteration device loop
+    so the tunnel's ~25 ms dispatch noise amortizes to <0.2 ms/iter).
+    Nominal baseline: ~10 ms for the reference's single-image A100 torch
+    predict + host scoring (BASELINE.md publishes no latency numbers)."""
+    import sys
+    import traceback
+
+    from ood_in_object_detection_tpu.models import build_model
+
+    try:
+        model = build_model("yolov8n", nc=NC, dtype=jnp.bfloat16)
+        rng = jax.random.PRNGKey(0)
+        variables = jax.jit(model.init, static_argnames="train")(
+            rng, jnp.zeros((1, IMG, IMG, 3), jnp.float32), train=False)
+        pipeline = _detect_score_pipeline(model)
+        images = (jax.random.uniform(rng, (1, IMG, IMG, 3), jnp.float32)
+                  * 255).astype(jnp.uint8)
+        ms = device_loop_ms(pipeline, variables, images, iters=128)
+        print(json.dumps({
+            "metric": "latency_ms_yolov8n_batch1_e2e",
+            "value": round(ms, 3),
+            "unit": "ms",
+            "vs_baseline": round(10.0 / ms, 3),
+        }))
+    except Exception:
+        print("latency bench failed:", file=sys.stderr)
+        traceback.print_exc()
+
+
 def main():
     det = bench_distance_step()
     bench_eul_host(det)
     del det
     bench_train_step()
     bench_flagship()
+    bench_latency_b1()
     bench_headline()
 
 
