@@ -188,8 +188,10 @@ class Detector:
             self._step_cache["replicated"] = cached
         v = cached[2]
         if "sp" in mesh.axis_names and mesh.shape["sp"] > 1:
-            x = jax.device_put(images,
-                               NamedSharding(mesh, P("data", "sp", None, None)))
+            from .parallel.mesh import BATCH_AXES
+
+            x = jax.device_put(
+                images, NamedSharding(mesh, P(BATCH_AXES, "sp", None, None)))
         else:
             x = jax.device_put(images, batch_sharding(mesh))
         return self.predict_fn(conf_thres=conf_thres, **kw)(v, x)

@@ -216,11 +216,16 @@ def fit_cluster_labels(
     if hyp.VISUALIZE:
         _plot_score_curve(scores, grid, method, perf_metric, tag or "clusters")
 
-    if best_params is None:
-        # all configurations degenerate -> single cluster (reference :176-183)
+    if best_params is None and default_score == -1.0:
+        # all configurations degenerate -> single cluster. The reference's
+        # check is literally `(scores == -1).all()` (cluster_utils.py:176),
+        # which only matches the silhouette default: under calinski_harabasz
+        # (defaults 0) it falls through to refitting the argmax — the FIRST
+        # — config even though every config was invalid. Mirror both.
         labels = np.zeros(len(feats), dtype=int)
     else:
-        labels = factory(best_params).fit_predict(feats)
+        labels = factory(best_params if best_params is not None
+                         else grid[0]).fit_predict(feats)
     if hyp.MAKE_EACH_ORPHAN_EACH_OWN_CLUSTER:
         labels = make_each_orphan_own_cluster(labels)
     return labels

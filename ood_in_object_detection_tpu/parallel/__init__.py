@@ -1,7 +1,10 @@
 from .mesh import (  # noqa: F401
     batch_sharding,
+    batch_spec,
     device_put_batch,
     make_mesh,
+    make_multislice_mesh,
+    num_slices,
     replicated,
     shard_params,
 )

@@ -5,7 +5,14 @@ and gradient all-reduce (engine/trainer.py:194-284, utils/dist.py). TPU-native
 equivalent: a named ``jax.sharding.Mesh`` over ICI with jit-sharded arrays —
 XLA inserts the collectives. Axes:
 
-- ``data``: batch-dimension data parallelism (DDP equivalent)
+- ``dcn``: slice-level data parallelism for multi-slice (multi-pod-segment)
+  deployments. Batch shards over ``("dcn", "data")`` so XLA emits a
+  hierarchical gradient all-reduce: reduce-scatter/all-gather over ICI
+  *within* each slice, then the (much smaller) cross-slice reduction over
+  DCN — the standard multi-slice recipe. Size 1 (a no-op) on single-slice
+  machines; ``make_multislice_mesh`` builds the device order from the
+  runtime's slice topology on real multi-slice hardware.
+- ``data``: batch-dimension data parallelism within a slice (DDP equivalent)
 - ``sp``: spatial parallelism over the image-height dimension of the conv
   grid (the "2D SP analogue" SURVEY.md §2.5 reserves as a design extension):
   XLA's SPMD partitioner inserts the halo collective-permutes every k>1 conv
@@ -29,26 +36,57 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+BATCH_AXES = ("dcn", "data")
+
 
 def make_mesh(
-    data: Optional[int] = None, model: int = 1, sp: int = 1, devices=None
+    data: Optional[int] = None, model: int = 1, sp: int = 1, dcn: int = 1,
+    devices=None,
 ) -> Mesh:
-    """Build a ("data", "sp", "model") mesh. Defaults: all devices on data."""
+    """Build a ("dcn", "data", "sp", "model") mesh.
+
+    Defaults: one slice (dcn=1), all devices on data."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data is None:
-        data = n // (model * sp)
-    assert data * sp * model == n, f"mesh {data}x{sp}x{model} != {n} devices"
-    dev_array = np.asarray(devices).reshape(data, sp, model)
-    return Mesh(dev_array, axis_names=("data", "sp", "model"))
+        data = n // (dcn * model * sp)
+    assert dcn * data * sp * model == n, \
+        f"mesh {dcn}x{data}x{sp}x{model} != {n} devices"
+    dev_array = np.asarray(devices).reshape(dcn, data, sp, model)
+    return Mesh(dev_array, axis_names=("dcn", "data", "sp", "model"))
+
+
+def num_slices(devices=None) -> int:
+    """Number of distinct TPU slices among the devices (1 when the runtime
+    exposes no slice topology — CPU meshes, single-slice TPUs)."""
+    devices = devices if devices is not None else jax.devices()
+    ids = {getattr(d, "slice_index", 0) for d in devices}
+    return max(len(ids), 1)
+
+
+def make_multislice_mesh(model: int = 1, sp: int = 1, devices=None) -> Mesh:
+    """DCN-aware mesh for multi-slice deployments: groups devices by their
+    slice_index so the ("data", ...) axes stay within a slice's ICI and only
+    the leading "dcn" axis crosses DCN. Falls back to a dcn=1 mesh when the
+    runtime has a single slice (or none — CPU)."""
+    devices = devices if devices is not None else jax.devices()
+    n_slices = num_slices(devices)
+    if n_slices == 1:
+        return make_mesh(model=model, sp=sp, devices=devices)
+    ordered = sorted(devices, key=lambda d: (getattr(d, "slice_index", 0),
+                                             d.id))
+    per_slice = len(ordered) // n_slices
+    assert per_slice * n_slices == len(ordered), "ragged slices"
+    return make_mesh(data=per_slice // (model * sp), model=model, sp=sp,
+                     dcn=n_slices, devices=ordered)
 
 
 def batch_spec() -> P:
-    return P("data")
+    return P(BATCH_AXES)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P("data"))
+    return NamedSharding(mesh, batch_spec())
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -80,7 +118,8 @@ def shard_params(params, mesh: Mesh):
 
 
 def device_put_batch(batch, mesh: Mesh):
-    """Place a host batch dict on the mesh, batch-dim sharded over "data".
+    """Place a host batch dict on the mesh, batch-dim sharded over the
+    ("dcn", "data") axes.
 
     When the mesh has an ``sp`` axis of size > 1, 4-D image tensors are
     additionally sharded over their height dimension — XLA SPMD inserts the
@@ -91,9 +130,9 @@ def device_put_batch(batch, mesh: Mesh):
     def put(x):
         x = jnp.asarray(x)
         if sp and x.ndim == 4:
-            spec = P("data", "sp", None, None)
+            spec = P(BATCH_AXES, "sp", None, None)
         else:
-            spec = P("data", *([None] * (x.ndim - 1)))
+            spec = P(BATCH_AXES, *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, batch)

@@ -250,10 +250,11 @@ def shard_state(state: TrainState, mesh) -> TrainState:
 
 
 def make_sharded_train_step(model: YOLODetector, cfg: TrainConfig, mesh):
-    """jit the train step over a ("data","model") mesh: batch sharded over
-    "data" (device_put by the caller via parallel.mesh.device_put_batch),
-    params TP-sharded over "model" (shard_state). XLA emits the gradient
-    all-reduces over ICI."""
+    """jit the train step over a ("dcn","data",...,"model") mesh: batch
+    sharded over ("dcn","data") (device_put by the caller via
+    parallel.mesh.device_put_batch), params TP-sharded over "model"
+    (shard_state). XLA emits the gradient all-reduces over ICI within a
+    slice and, when dcn>1, hierarchically over DCN across slices."""
 
     def step_fn(state, batch):
         return train_step(model, cfg, state, batch)

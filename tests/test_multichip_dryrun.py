@@ -102,7 +102,7 @@ def test_sharded_step_dp_sp_matches_unsharded():
         sstate = shard_state(state, mesh)
         placed = device_put_batch(batch, mesh)
         assert placed["images"].sharding.spec == jax.sharding.PartitionSpec(
-            "data", "sp", None, None)
+            ("dcn", "data"), "sp", None, None)
         new_state, lb = make_sharded_train_step(model, cfg, mesh)(sstate, placed)
     np.testing.assert_allclose(float(lb.total), float(ref_lb.total), rtol=2e-4)
     a = jax.tree.leaves(ref_state.params)[0]

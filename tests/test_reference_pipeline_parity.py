@@ -900,3 +900,84 @@ def test_fusion_fuse_decisions_parity(ref):
             "vote", jnp.asarray(dec1[i]), jnp.asarray(dec2[i]),
             jnp.asarray(dec3[i])))
         np.testing.assert_array_equal(ours, np.asarray(ref_fused[i]))
+
+
+# ---------------------------------------------------------------------------
+# Cluster grid search (cluster_utils.py:18-357): cross-execute the
+# reference's own search loop (sklearn estimators, validity constraints,
+# score selection, orphan policies) on shared feature sets
+# ---------------------------------------------------------------------------
+
+def _blobs(rng, centers, n_per, dim, spread=0.35):
+    feats = np.concatenate([
+        rng.normal(0, spread, (n_per, dim)) + c for c in centers
+    ]).astype(np.float64)
+    return feats
+
+
+@pytest.fixture(scope="module")
+def ref_cluster(ref):
+    import cluster_utils
+
+    return cluster_utils
+
+
+@pytest.mark.parametrize("method,perf", [
+    ("KMeans", "silhouette"),
+    ("AgglomerativeClustering", "silhouette"),
+    ("AgglomerativeClustering", "calinski_harabasz"),
+    ("Birch", "silhouette"),
+])
+def test_cluster_grid_search_parity(ref_cluster, method, perf):
+    """find_optimal_number_of_clusters_one_class_one_stride_and_return_labels
+    vs our fit_cluster_labels: identical labels on identical features for
+    the deterministic sklearn algorithms (same candidate grids, same
+    validity constraints, same first-argmax selection)."""
+    from ood_in_object_detection_tpu.ood.clustering import fit_cluster_labels
+
+    rng = np.random.default_rng(42)
+    dim = 8
+    centers = [np.zeros(dim), np.full(dim, 4.0),
+               np.concatenate([np.full(dim // 2, -4.0), np.zeros(dim - dim // 2)])]
+    feats = _blobs(rng, centers, n_per=12, dim=dim)
+
+    ref_labels = ref_cluster.find_optimal_number_of_clusters_one_class_one_stride_and_return_labels(
+        feats, method, "l2", perf, "t", log, visualize=False)
+    ours = fit_cluster_labels(feats, method, "l2", perf)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref_labels),
+                                  err_msg=f"{method}/{perf}")
+
+
+def test_cluster_grid_search_degenerate_parity(ref_cluster):
+    """All-invalid grids: under silhouette the reference collapses to one
+    cluster (cluster_utils.py:176-183); under calinski_harabasz its
+    `(scores == -1).all()` check never fires (defaults are 0) and it refits
+    the FIRST config. Both regimes must match."""
+    from ood_in_object_detection_tpu.ood.clustering import fit_cluster_labels
+
+    rng = np.random.default_rng(7)
+    # 5 samples, MIN_SAMPLES=3 -> every k>=2 labeling has a cluster below
+    # the minimum, so every configuration is invalid
+    feats = rng.normal(0, 1.0, (5, 6)).astype(np.float64)
+
+    for perf in ("silhouette", "calinski_harabasz"):
+        ref_labels = ref_cluster.find_optimal_number_of_clusters_one_class_one_stride_and_return_labels(
+            feats, "KMeans", "l2", perf, "t", log, visualize=False)
+        ours = fit_cluster_labels(feats, "KMeans", "l2", perf)
+        np.testing.assert_array_equal(np.asarray(ours),
+                                      np.asarray(ref_labels), err_msg=perf)
+
+
+def test_orphan_policy_parity(ref_cluster):
+    """make_each_orphan_be_each_own_cluster (cluster_utils.py:189-200) vs
+    ours on shared labelings with -1 orphans."""
+    from ood_in_object_detection_tpu.ood.clustering import (
+        make_each_orphan_own_cluster,
+    )
+
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        labels = rng.integers(-1, 3, 20)
+        ref_out = ref_cluster.make_each_orphan_be_each_own_cluster(labels.copy())
+        ours = make_each_orphan_own_cluster(labels.copy())
+        np.testing.assert_array_equal(ours, ref_out, err_msg=f"trial {trial}")
