@@ -70,7 +70,7 @@ def main(argv=None) -> None:
 
     from ..data import DetectionDataset, PaddedBatcher
     from ..models import build_model
-    from ..parallel import device_put_batch, make_mesh
+    from ..parallel import device_put_batch, make_multislice_mesh
     from ..train import TrainConfig, init_state, make_sharded_train_step, shard_state
     from ..core.checkpoint import save_checkpoint
 
@@ -128,7 +128,10 @@ def main(argv=None) -> None:
                  metrics["mAP50"], metrics["mAP50_95"])
         return
 
-    mesh = make_mesh(model=1)
+    # slice-topology-aware: on multi-slice deployments the batch shards over
+    # ("dcn","data") so gradient reductions ride ICI within a slice and DCN
+    # across; degrades to a flat all-data mesh on single-slice/CPU runtimes
+    mesh = make_multislice_mesh(model=1)
     rng = jax.random.PRNGKey(0)
     sample = jnp.zeros((args.batch_size, args.img_size, args.img_size, 3), jnp.float32)
     start_epoch = 0

@@ -132,6 +132,30 @@ def test_visualize_clusters_score_curve(tmp_path, monkeypatch):
     assert (tmp_path / "cluster_viz" / "unit_KMeans_silhouette_scores.png").exists()
 
 
+def test_train_cli_end_to_end(tiny_yaml, tmp_path):
+    """One epoch of the train CLI on the synthetic dataset: slice-aware mesh
+    construction (make_multislice_mesh on the 8-device CPU mesh), sharded
+    steps, validation, checkpoint + results.csv + tensorboard events
+    (reference custom_training.py main flow)."""
+    from ood_in_object_detection_tpu.cli import train as train_cli
+
+    out = tmp_path / "runs"
+    train_cli.main([
+        "--model", "n", "--model_version", "yolov8", "--dataset", tiny_yaml,
+        "--epochs", "1", "--batch_size", "8", "--img_size", "64",
+        "--val_every", "1", "--no_augment", "--name", "smoke",
+        "--out_dir", str(out),
+    ])
+    run_dir = out / "smoke"
+    lines = (run_dir / "results.csv").read_text().splitlines()
+    assert lines[0].startswith("epoch,") and len(lines) == 2
+    row = lines[1].split(",")
+    assert float(row[5]) > 0  # finite total loss logged
+    assert list(run_dir.glob("events.out.tfevents.*"))
+    assert (run_dir / "meta.json").exists()  # checkpoint saved at val epoch
+    assert (run_dir / "state").exists()
+
+
 def test_cli_parsers_reject_bad_values(tiny_yaml):
     from ood_in_object_detection_tpu.cli.ood_eval import build_parser
 
