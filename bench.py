@@ -62,14 +62,18 @@ def device_loop_ms(pipeline, *args, iters=None):
         return lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     _ = float(bench_loop(args, 2))
-    t0 = time.perf_counter()
-    _ = float(bench_loop(args, n))  # host fetch = sync
-    dt = time.perf_counter() - t0
-    t1 = time.perf_counter()
-    _ = float(bench_loop(args, 1))
-    overhead = time.perf_counter() - t1
+    # best-of-3 timed runs: transient host/tunnel noise only ever ADDS time,
+    # so the minimum is the closest observation of the chip's steady rate
+    dt = min(_timed(bench_loop, args, n) for _ in range(3))
+    overhead = min(_timed(bench_loop, args, 1) for _ in range(3))
     compute = max(dt - max(overhead - dt / n, 0.0), 1e-9)
     return compute / n * 1000.0
+
+
+def _timed(fn, args, iters) -> float:
+    t0 = time.perf_counter()
+    _ = float(fn(args, iters))  # host fetch = sync
+    return time.perf_counter() - t0
 
 
 def make_distance_method(neck_cmax: int):
@@ -152,11 +156,14 @@ def bench_eul_host(det):
     eul_frontend_batched(p3_dev, ratio_pads)  # compile outside the timed loop
     t0 = time.perf_counter()
     for _ in range(reps):
+        # None when the configured summarizer/thresholding has no device
+        # implementation — fall back to the all-host path, as the pipeline does
         fe = eul_frontend_batched(p3_dev, ratio_pads)
         for b in range(n_imgs):
             unknown_proposals_for_image(p3[b], ratio_pads[b],
                                         boxes[b][valid[b]],
-                                        precomputed=fe[b])
+                                        precomputed=None if fe is None
+                                        else fe[b])
     ms = (time.perf_counter() - t0) / (reps * n_imgs) * 1000.0
     print(json.dumps({
         "metric": "eul_host_ms_per_image",

@@ -81,8 +81,12 @@ def fusion_scatter(npz_path: str, out_path: str) -> str:
                label=f"fused OoD (n={int((~dec).sum())})")
     ax.axhline(0.0, color="k", lw=1, ls="--")
     ax.axvline(0.0, color="k", lw=1, ls="--")
-    ax.set_xlim(-1.05, 1.05)
-    ax.set_ylim(-1.05, 1.05)
+    # with CLIP_FUSION_SCORES=False INDness can exceed ±1: grow the limits
+    # to the data so extreme-score boxes stay visible, never shrink below ±1
+    lim_a = max(1.0, float(np.abs(a).max(initial=0.0))) * 1.05
+    lim_b = max(1.0, float(np.abs(b).max(initial=0.0))) * 1.05
+    ax.set_xlim(-lim_a, lim_a)
+    ax.set_ylim(-lim_b, lim_b)
     ax.set_xlabel(f"INDness — {names[0]}")
     ax.set_ylabel(f"INDness — {names[1]}")
     ax.set_title("Score fusion: member INDness with decision quadrants")

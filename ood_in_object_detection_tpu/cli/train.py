@@ -176,44 +176,48 @@ def main(argv=None) -> None:
         # callbacks/tensorboard.py:8-97), written without importing tensorboard
         tb = (tb_events.EventWriter(run_dir) if not args.no_tensorboard
               else None)
-        for epoch in range(start_epoch, args.epochs):
-            t0 = time.perf_counter()
-            losses = []
-            for batch in batcher:
-                b = {k: batch[k] for k in ("images", "gt_labels", "gt_bboxes", "gt_mask")}
-                state, lb = step(state, device_put_batch(b, mesh))
-                losses.append(lb)
-            mean = {k: float(jnp.mean(jnp.stack([getattr(l, k) for l in losses])))
-                    for k in ("total", "box", "cls", "dfl")}
-            dt = time.perf_counter() - t0
-            log.info("epoch %d: loss=%.4f (%.1fs)", epoch, mean["total"], dt)
-            map50 = map5095 = float("nan")
-            if (epoch + 1) % max(args.val_every, 1) == 0 or epoch == args.epochs - 1:
-                if val_ds is not None and len(val_ds):
-                    metrics = validate(model, state, val_ds, args, nc)
-                    map50, map5095 = metrics["mAP50"], metrics["mAP50_95"]
-                    log.info("epoch %d val: mAP50=%.4f mAP50-95=%.4f", epoch,
-                             map50, map5095)
-                save_checkpoint(
-                    run_dir, state,
-                    train_args={"name": args.name, "nc": nc, **vars(args)},
-                    model_name=name, epoch=epoch)
-            lr_now = float(lr_fn(jnp.asarray((epoch + 1) * steps_per_epoch, jnp.float32)))
-            with csv_path.open("a") as f:
-                f.write(f"{epoch},{dt:.2f},{mean['box']:.6f},{mean['cls']:.6f},"
-                        f"{mean['dfl']:.6f},{mean['total']:.6f},{lr_now:.6g},"
-                        f"{map50:.6f},{map5095:.6f}\n")
+        try:
+            for epoch in range(start_epoch, args.epochs):
+                t0 = time.perf_counter()
+                losses = []
+                for batch in batcher:
+                    b = {k: batch[k] for k in ("images", "gt_labels", "gt_bboxes", "gt_mask")}
+                    state, lb = step(state, device_put_batch(b, mesh))
+                    losses.append(lb)
+                mean = {k: float(jnp.mean(jnp.stack([getattr(l, k) for l in losses])))
+                        for k in ("total", "box", "cls", "dfl")}
+                dt = time.perf_counter() - t0
+                log.info("epoch %d: loss=%.4f (%.1fs)", epoch, mean["total"], dt)
+                map50 = map5095 = float("nan")
+                if (epoch + 1) % max(args.val_every, 1) == 0 or epoch == args.epochs - 1:
+                    if val_ds is not None and len(val_ds):
+                        metrics = validate(model, state, val_ds, args, nc)
+                        map50, map5095 = metrics["mAP50"], metrics["mAP50_95"]
+                        log.info("epoch %d val: mAP50=%.4f mAP50-95=%.4f", epoch,
+                                 map50, map5095)
+                    save_checkpoint(
+                        run_dir, state,
+                        train_args={"name": args.name, "nc": nc, **vars(args)},
+                        model_name=name, epoch=epoch)
+                lr_now = float(lr_fn(jnp.asarray((epoch + 1) * steps_per_epoch, jnp.float32)))
+                with csv_path.open("a") as f:
+                    f.write(f"{epoch},{dt:.2f},{mean['box']:.6f},{mean['cls']:.6f},"
+                            f"{mean['dfl']:.6f},{mean['total']:.6f},{lr_now:.6g},"
+                            f"{map50:.6f},{map5095:.6f}\n")
+                if tb is not None:
+                    tb.scalars({"train/box_loss": mean["box"],
+                                "train/cls_loss": mean["cls"],
+                                "train/dfl_loss": mean["dfl"],
+                                "train/total_loss": mean["total"],
+                                "lr/lr0": lr_now,
+                                "metrics/mAP50(B)": map50,
+                                "metrics/mAP50-95(B)": map5095}, epoch)
+                    tb.flush()
+        finally:
+            # flush even on mid-training failure (buffered TFRecord bytes
+            # since the last per-epoch flush would otherwise be lost)
             if tb is not None:
-                tb.scalars({"train/box_loss": mean["box"],
-                            "train/cls_loss": mean["cls"],
-                            "train/dfl_loss": mean["dfl"],
-                            "train/total_loss": mean["total"],
-                            "lr/lr0": lr_now,
-                            "metrics/mAP50(B)": map50,
-                            "metrics/mAP50-95(B)": map5095}, epoch)
-                tb.flush()
-        if tb is not None:
-            tb.close()
+                tb.close()
     log.info("done")
 
 

@@ -98,11 +98,18 @@ class Detector:
     def nc(self) -> int:
         return self.model.nc
 
-    def _jitted_step(self, iou_thres: float, max_det: int, pre_nms_k: int):
+    def _jitted_step(self, iou_thres: float, max_det: int, pre_nms_k: int,
+                     use_pallas: bool = True):
         """One compiled step per (iou, max_det, k); conf_thres is a *traced*
         argument so benchmark sweeps over test thresholds never recompile
-        (the reference re-runs predict per threshold, ood_evaluation.py:1015)."""
-        key = (iou_thres, max_det, pre_nms_k, self.fused, self.roi_samples)
+        (the reference re-runs predict per threshold, ood_evaluation.py:1015).
+
+        use_pallas=False keeps the RoI contraction on the plain XLA einsum —
+        required under multi-device SPMD meshes, where a pallas_call has no
+        partitioning rule (predict_sharded sets it; the einsum ties the
+        kernel within ~2 %, PERF.md)."""
+        key = (iou_thres, max_det, pre_nms_k, self.fused, self.roi_samples,
+               use_pallas)
         if key in self._step_cache:
             return self._step_cache[key]
         model = self.model
@@ -141,7 +148,7 @@ class Detector:
             # TPU for the large levels (ops/pallas/roi.py)
             roi, exact = roi_and_exact_batched(
                 neck_feats, det.boxes, det.anchor_idx, level,
-                img_w=img_size, samples=samples)
+                img_w=img_size, samples=samples, use_pallas=use_pallas)
             return PredictOutput(det, logits, level, det.anchor_idx, roi, exact,
                                  tuple(neck_feats))
 
@@ -149,10 +156,11 @@ class Detector:
         return step
 
     def predict_fn(self, conf_thres: float = 0.25, iou_thres: float = 0.45,
-                   max_det: int = 300, pre_nms_k: int = 1024):
+                   max_det: int = 300, pre_nms_k: int = 1024,
+                   use_pallas: bool = True):
         """(variables, images) -> PredictOutput with conf baked as a traced
         scalar; repeated calls with different conf reuse the same executable."""
-        step = self._jitted_step(iou_thres, max_det, pre_nms_k)
+        step = self._jitted_step(iou_thres, max_det, pre_nms_k, use_pallas)
         return lambda variables, images: step(variables, images,
                                               jnp.float32(conf_thres))
 
@@ -194,6 +202,9 @@ class Detector:
                 images, NamedSharding(mesh, P(BATCH_AXES, "sp", None, None)))
         else:
             x = jax.device_put(images, batch_sharding(mesh))
+        # multi-device meshes: keep the RoI contraction on XLA (a pallas_call
+        # cannot be SPMD-partitioned; the einsum ties it within ~2 %, PERF.md)
+        kw.setdefault("use_pallas", mesh.devices.size == 1)
         return self.predict_fn(conf_thres=conf_thres, **kw)(v, x)
 
     # per-level neck channel counts (to slice roi_feats padding)

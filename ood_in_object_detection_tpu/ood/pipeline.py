@@ -171,20 +171,19 @@ def _all_stride_roi(out: PredictOutput, boxes, valid, img_w):
     """3 x (B, N, C_s) RoI features of every detected box at every stride
     (reference extract_all_strides=True, predict.py:52-60).
 
-    Uses the same adaptive-sampling batched RoIAlign as the engine's
-    roi_feats (samples=0), so fit-time features match the eval-time features
-    the distance thresholds are applied to. smax=128 lifts the engine's
-    16-sample cap: here every box hits the stride-8 map, where large boxes
-    span 40-80 cells and torchvision's ceil(span) grid needs the full count
-    (advisor r2 #2; exactness asserted in test_reference_pipeline_parity)."""
+    Uses the same adaptive batched RoIAlign as the engine's roi_feats
+    (samples=0, closed-form exact for every span — every box hits the
+    stride-8 map here, where large boxes span 40-80 cells), so fit-time
+    features match the eval-time features the distance thresholds are
+    applied to AND torchvision's exact ceil(span) grid (advisor r2 #2;
+    exactness asserted in test_reference_pipeline_parity)."""
     from ..ops.roi_align import roi_align_1x1_batched_level
 
     feats = []
     bx = out.det.boxes
     for lvl, fmap in enumerate(out.neck):
         scale = fmap.shape[2] / img_w
-        feats.append(roi_align_1x1_batched_level(fmap, bx, scale, samples=0,
-                                                 smax=128))
+        feats.append(roi_align_1x1_batched_level(fmap, bx, scale, samples=0))
     return feats
 
 
@@ -202,7 +201,7 @@ def _target_roi_feats(out: PredictOutput, tgt_boxes_xyxy: np.ndarray, img_w,
         scale = fmap.shape[2] / img_w
         outs.append(np.asarray(
             roi_align_1x1_batched_level(fmap[i][None], b[None], scale,
-                                         samples=0, smax=128)[0]))
+                                         samples=0)[0]))
     return outs
 
 

@@ -9,8 +9,10 @@ grid of bilinear samples over the box (sampling_ratio<=0). The TPU
 formulation exploits that a uniform grid of bilinear taps is *separable*: the
 pooled value equals outer(axis_weights_y, axis_weights_x) contracted with the
 feature map, one dense batched MXU matmul per level — no gathers, and the
-data-dependent adaptive sample count becomes a masked weight sum with fully
-static shapes (exact up to spans of ADAPTIVE_SMAX cells, converged beyond).
+data-dependent adaptive sample count collapses into a CLOSED-FORM weight
+vector with fully static shapes (arithmetic-series sums of the bilinear
+hats — see _axis_weights_adaptive), exact for every span with no sample
+dimension at all.
 The per-box stride routing (boxes go to the feature level they were predicted
 at, predict.py:52-70) is handled by computing the value at every level and
 selecting with the per-box level index — 300 boxes x 3 levels is trivial work
@@ -133,8 +135,9 @@ def roi_align_1x1_multi_level(
     return jnp.take_along_axis(stacked, level_idx[None, :, None], axis=0)[0]
 
 
-# adaptive mode: per-axis sample count ceil(roi_span) is capped here; beyond
-# the cap the sample mean has already converged to ~1e-3 of the exact integral
+# adaptive-mode sample cap of the HOST-LOOP ORACLE above (the batched path
+# needs no cap — its closed-form weights are exact for every span); parity
+# tests lift it via smax= to match the exact device path
 ADAPTIVE_SMAX = 16
 
 
@@ -153,30 +156,67 @@ def _axis_weights(lo, span, size: int, samples: int,
     is (wy ⊗ wx) contracted with the map.
 
     samples > 0: fixed S (torchvision sampling_ratio=S).
-    samples == 0: torchvision's adaptive default (sampling_ratio<=0):
-    S = ceil(span) per box, evaluated with a static smax-sample grid masked
-    down to S — exact for spans <= smax. smax defaults to ADAPTIVE_SMAX
-    (the engine's routed-stride path never sees larger spans); the offline
-    all-stride extraction passes a larger cap (advisor r2 #2)."""
-    if samples > 0:
-        t = (jnp.arange(samples, dtype=jnp.float32) + 0.5) / samples
-        u = lo[..., None] + t * span[..., None]            # (..., S)
-        inv_n = 1.0 / samples
-        mask = None
-    else:
-        smax = ADAPTIVE_SMAX if smax is None else smax
-        n = jnp.clip(jnp.ceil(span), 1.0, float(smax))     # (...,)
-        s = jnp.arange(smax, dtype=jnp.float32)
-        t = (s + 0.5) / n[..., None]                       # (..., Smax)
-        u = lo[..., None] + t * span[..., None]
-        inv_n = (1.0 / n)[..., None]
-        mask = s < n[..., None]
+    samples == 0: torchvision's adaptive default (sampling_ratio<=0),
+    S = ceil(span) per box, computed in CLOSED FORM (see
+    _axis_weights_adaptive) — exact for EVERY span, no sample dimension,
+    no cap. ``smax`` is accepted for API compatibility and ignored: the
+    closed form made the static sample-grid cap (and with it the fit-time
+    vs eval-time sampling split) obsolete."""
+    if samples == 0:
+        return _axis_weights_adaptive(lo, span, size)
+    t = (jnp.arange(samples, dtype=jnp.float32) + 0.5) / samples
+    u = lo[..., None] + t * span[..., None]            # (..., S)
     u = jnp.clip(u, 0.0, size - 1.0)
     p = jnp.arange(size, dtype=jnp.float32)
     hat = jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - p))  # (..., S, size)
-    if mask is not None:
-        hat = jnp.where(mask[..., None], hat, 0.0)
-    return hat.sum(axis=-2) * inv_n
+    return hat.sum(axis=-2) * (1.0 / samples)
+
+
+def _axis_weights_adaptive(lo, span, size: int) -> jnp.ndarray:
+    """Exact adaptive axis weights in closed form -> (..., size).
+
+    The S = ceil(span) sample coordinates u_s = lo + (s+0.5)·h (h = span/S)
+    form an arithmetic sequence, so the summed hat weight a cell p receives,
+    Σ_s max(0, 1 - |clip(u_s) - p|), decomposes into window counts and
+    arithmetic-series sums — O(size) per box with NO sample dimension,
+    exact for any span (the sampled formulation needed a (..., Smax, size)
+    tensor and was only exact up to the Smax cap):
+
+    - idx(x) = #{s : u_s <= x} = floor((x - lo)/h - 0.5) + 1, clipped
+    - samples with u_s < 0 clamp to cell 0 with weight 1 (torchvision
+      border clamp); symmetrically u_s > size-1 -> cell size-1
+    - interior samples in (p-1, p] contribute (1-p) + u_s and those in
+      (p, p+1) contribute (1+p) - u_s, with Σ u_s over an index window
+      [a, b) equal to (b-a)·lo + h·(b²-a²)/2.
+
+    Numerics: windows shift by one sample only where the sample's hat
+    weight crosses a continuous boundary (0 at the window edge, the split
+    value at u_s = p), so float rounding of the floor() is harmless. f32
+    holds b² exactly for the spans a 640-px image can produce (<= 80)."""
+    n = jnp.maximum(jnp.ceil(span), 1.0)               # (...,)
+    h = (span / n)[..., None]
+    lo_ = lo[..., None]
+    n_ = n[..., None]
+    p = jnp.arange(size, dtype=jnp.float32)
+
+    def idx(x):  # number of samples with u_s <= x, in [0, n]
+        return jnp.clip(jnp.floor((x - lo_) / h - 0.5) + 1.0, 0.0, n_)
+
+    n_left = idx(0.0)          # samples clamped to the left border
+    n_in = idx(size - 1.0)     # samples at or left of the right border
+    a1 = jnp.clip(idx(p - 1.0), n_left, n_in)
+    a2 = jnp.clip(idx(p), n_left, n_in)
+    a3 = jnp.clip(idx(p + 1.0), n_left, n_in)
+
+    def series(a, b):  # Σ u_s for s in [a, b)
+        return (b - a) * lo_ + h * (b * b - a * a) * 0.5
+
+    left = (a2 - a1) * (1.0 - p) + series(a1, a2)
+    right = (a3 - a2) * (1.0 + p) - series(a2, a3)
+    w = left + right
+    w = w + jnp.where(p == 0.0, n_left, 0.0)
+    w = w + jnp.where(p == size - 1.0, n_ - n_in, 0.0)
+    return w / n_
 
 
 def roi_align_1x1_batched_level(

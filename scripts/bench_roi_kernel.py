@@ -90,11 +90,16 @@ def main():
             return acc
         return pipeline
 
-    import functools
     for mode in ("base", "fold", "store", "expand"):
         if mode in ("store", "expand"):
             orig = proi.roi_matmul_level_pallas
-            proi_fn = functools.partial(orig, variant=mode)
+
+            # NOT functools.partial: the engine call site now passes
+            # variant="twostage" explicitly, and call-time kwargs override a
+            # partial's — force the swept variant by dropping the caller's
+            def proi_fn(f, wx, wy, variant=None, *, _m=mode, _o=orig):
+                return _o(f, wx, wy, variant=_m)
+
             proi.roi_matmul_level_pallas = proi_fn
         try:
             ms = timed(make_pipeline(mode), variables, img_u8)

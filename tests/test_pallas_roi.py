@@ -48,7 +48,7 @@ def test_combined_matches_independent_paths(samples):
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("variant", ["store", "expand"])
+@pytest.mark.parametrize("variant", ["store", "expand", "twostage"])
 def test_kernel_interpret_matches_einsum(variant, monkeypatch):
     rng = np.random.default_rng(3)
     b, n2, h, w, c = 2, 34, 16, 16, 8

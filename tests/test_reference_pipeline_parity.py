@@ -375,8 +375,9 @@ def test_roi_align_parity_vs_torchvision_semantics(ref):
     """Our MXU RoIAlign vs an independent NumPy implementation of the
     documented torchvision algorithm (sampling_ratio<=0 => ceil(span) grid,
     aligned=False), driven through the reference's own per-stride extractor.
-    Includes rois spanning 40-80 cells on the stride-8 map — beyond the
-    ADAPTIVE_SMAX=16 cap (advisor r2 finding: quantify the convergence)."""
+    Includes rois spanning 40-80 cells on the stride-8 map, where the
+    closed-form adaptive weights must reproduce the full ceil(span) grid
+    (advisor r2 finding; formerly approximated beyond a 16-sample cap)."""
     import torch
 
     from ood_in_object_detection_tpu.ops.roi_align import batched_roi_align_1x1
@@ -418,16 +419,14 @@ def test_roi_align_parity_vs_torchvision_semantics(ref):
             np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5,
                                        err_msg=f"box {bi} stride {s}")
 
-    # the engine's default cap (ADAPTIVE_SMAX=16) is exact for routed-stride
-    # spans; quantify its error on the capped span-40/80 stride-8 boxes
-    capped = np.asarray(batched_roi_align_1x1(
+    # the engine's DEFAULT adaptive path (closed-form _axis_weights_adaptive,
+    # no smax cap) must equal the exact grid for every span — this is what
+    # keeps fit-time and eval-time RoI features identical
+    default = np.asarray(batched_roi_align_1x1(
         neck, jnp.asarray(boxes[None]), jnp.asarray(level[None]), img_w=img,
         samples=0))[0]
-    exact0 = ours[0, :8]
-    np.testing.assert_allclose(capped[0, :8], exact0, rtol=1e-4, atol=1e-5)
-    for bi in (1, 2):  # capped big boxes: subsampled mean of a noise field
-        err = np.abs(capped[bi, :8] - ours[bi, :8]).max()
-        assert err < 0.5, f"capped box {bi} err {err}"
+    np.testing.assert_allclose(default[:, :8], ours[:, :8],
+                               rtol=1e-4, atol=1e-5)
 
 
 # ---------------------------------------------------------------------------

@@ -40,6 +40,38 @@ def test_batched_matches_per_image_multi_level():
                                        rtol=1e-5, atol=1e-5)
 
 
+def test_closed_form_adaptive_weights_exact_any_span():
+    """_axis_weights_adaptive (arithmetic-series closed form, no sample dim)
+    vs the brute-force ceil(span)-sample hat sum, including border-clamped
+    sample runs, integer-boundary spans, and spans far beyond the old
+    16-sample cap — the property that keeps fit-time and eval-time RoI
+    features identical for every box size."""
+    from ood_in_object_detection_tpu.ops.roi_align import _axis_weights_adaptive
+
+    def brute(lo, span, size):
+        n = max(int(np.ceil(span)), 1)
+        u = lo + (np.arange(n) + 0.5) * (span / n)
+        u = np.clip(u, 0.0, size - 1.0)
+        p = np.arange(size, dtype=np.float64)
+        return np.maximum(0.0, 1.0 - np.abs(u[:, None] - p)).sum(0) / n
+
+    rng = np.random.default_rng(0)
+    cases = [(float(rng.uniform(-10, 90)), float(rng.uniform(1.0, 100.0)),
+              int(rng.integers(3, 81))) for _ in range(40)]
+    cases += [(lo, span, 80) for span in (1.0, 2.0, 16.0, 17.0, 80.0)
+              for lo in (-3.0, -0.5, 0.0, 0.25, 77.5, 79.0, 81.0)]
+    los, spans, sizes = zip(*cases)
+    for size in sorted(set(sizes)):  # batch same-size cases into one call
+        sel = [i for i, s in enumerate(sizes) if s == size]
+        got = np.asarray(_axis_weights_adaptive(
+            jnp.asarray([los[i] for i in sel], jnp.float32),
+            jnp.asarray([spans[i] for i in sel], jnp.float32), size))
+        for row, i in enumerate(sel):
+            np.testing.assert_allclose(got[row], brute(los[i], spans[i], size),
+                                       rtol=1e-5, atol=2e-6,
+                                       err_msg=f"lo={los[i]} span={spans[i]}")
+
+
 def test_exact_pos_matches_padded_concat():
     fmaps, _, _ = _rand_setup(seed=1)
     b = fmaps[0].shape[0]
