@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--perspective", type=float, default=0.0)
     p.add_argument("--no_tensorboard", action="store_true",
                    help="skip writing tensorboard event files to the run dir")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="sharded batches kept in flight on device so the "
+                        "host->device copy overlaps the previous step")
+    p.add_argument("--profile", default="",
+                   help="directory to write a jax.profiler trace of the "
+                        "first training epoch (view with tensorboard)")
     p.add_argument("--pretrained_backbone", default="",
                    help="classification-model .pt whose backbone (layers 0-6) "
                         "is grafted before training "
@@ -70,7 +76,7 @@ def main(argv=None) -> None:
 
     from ..data import DetectionDataset, PaddedBatcher
     from ..models import build_model
-    from ..parallel import device_put_batch, make_multislice_mesh
+    from ..parallel import make_multislice_mesh, prefetch_to_device
     from ..train import TrainConfig, init_state, make_sharded_train_step, shard_state
     from ..core.checkpoint import save_checkpoint
 
@@ -180,10 +186,23 @@ def main(argv=None) -> None:
             for epoch in range(start_epoch, args.epochs):
                 t0 = time.perf_counter()
                 losses = []
-                for batch in batcher:
-                    b = {k: batch[k] for k in ("images", "gt_labels", "gt_bboxes", "gt_mask")}
-                    state, lb = step(state, device_put_batch(b, mesh))
+                prof = None
+                if args.profile and epoch == start_epoch:
+                    from ..utils.profiling import trace
+
+                    prof = trace(args.profile)
+                    prof.__enter__()
+                host = ({k: batch[k] for k in ("images", "gt_labels",
+                                               "gt_bboxes", "gt_mask")}
+                        for batch in batcher)
+                for placed in prefetch_to_device(host, mesh,
+                                                 size=args.prefetch):
+                    state, lb = step(state, placed)
                     losses.append(lb)
+                if prof is not None:
+                    jax.block_until_ready(losses[-1].total)
+                    prof.__exit__(None, None, None)
+                    log.info("profiler trace written to %s", args.profile)
                 mean = {k: float(jnp.mean(jnp.stack([getattr(l, k) for l in losses])))
                         for k in ("total", "box", "cls", "dfl")}
                 dt = time.perf_counter() - t0

@@ -5,6 +5,7 @@ from .mesh import (  # noqa: F401
     make_mesh,
     make_multislice_mesh,
     num_slices,
+    prefetch_to_device,
     replicated,
     shard_params,
 )

@@ -136,3 +136,31 @@ def device_put_batch(batch, mesh: Mesh):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, batch)
+
+
+def prefetch_to_device(batches, mesh: Mesh, size: int = 2):
+    """Wrap a host batch iterator so host->device transfers overlap compute:
+    keeps ``size`` sharded batches in flight on the mesh ahead of the
+    consumer (device_put is async, so queuing the next transfer while the
+    train step runs hides the PCIe/ICI copy — the standard JAX input-feed
+    pattern; the reference relies on torch DataLoader pin_memory +
+    non_blocking copies for the same overlap, engine/trainer.py)."""
+    import collections
+
+    buf: "collections.deque" = collections.deque()
+    it = iter(batches)
+
+    def enqueue():
+        try:
+            buf.append(device_put_batch(next(it), mesh))
+            return True
+        except StopIteration:
+            return False
+
+    for _ in range(max(size, 1)):
+        if not enqueue():
+            break
+    while buf:
+        nxt = buf.popleft()
+        enqueue()
+        yield nxt

@@ -103,6 +103,25 @@ def test_sp_sharded_predict_matches_single_device():
                                np.asarray(out_1.roi_feats), rtol=1e-5, atol=1e-5)
 
 
+def test_prefetch_to_device_preserves_batches_and_sharding():
+    """prefetch_to_device keeps `size` sharded batches in flight but must
+    yield every batch exactly once, in order, with mesh sharding applied
+    (short iterators < size included)."""
+    from ood_in_object_detection_tpu.parallel import prefetch_to_device
+
+    mesh = make_mesh()
+    batches = [{"images": np.full((8, 4, 4, 3), float(i), np.float32),
+                "gt_labels": np.full((8, 2), i, np.int32)} for i in range(5)]
+    for size in (1, 2, 7):  # size > len(batches) must also drain fully
+        got = list(prefetch_to_device(iter(batches), mesh, size=size))
+        assert len(got) == 5
+        for i, b in enumerate(got):
+            assert len(b["images"].sharding.device_set) == 8
+            np.testing.assert_array_equal(np.asarray(b["images"][0, 0, 0]),
+                                          np.full(3, float(i), np.float32))
+    assert list(prefetch_to_device(iter([]), mesh)) == []
+
+
 def test_dcn_sharded_predict_matches_single_device():
     """Hierarchical DP: batch sharded over ("dcn", "data") — the multi-slice
     layout where gradient reductions ride ICI within a slice then DCN across
