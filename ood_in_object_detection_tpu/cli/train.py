@@ -186,22 +186,24 @@ def main(argv=None) -> None:
             for epoch in range(start_epoch, args.epochs):
                 t0 = time.perf_counter()
                 losses = []
-                prof = None
+                import contextlib
+
+                prof_ctx = contextlib.nullcontext()
                 if args.profile and epoch == start_epoch:
                     from ..utils.profiling import trace
 
-                    prof = trace(args.profile)
-                    prof.__enter__()
+                    prof_ctx = trace(args.profile)
                 host = ({k: batch[k] for k in ("images", "gt_labels",
                                                "gt_bboxes", "gt_mask")}
                         for batch in batcher)
-                for placed in prefetch_to_device(host, mesh,
-                                                 size=args.prefetch):
-                    state, lb = step(state, placed)
-                    losses.append(lb)
-                if prof is not None:
-                    jax.block_until_ready(losses[-1].total)
-                    prof.__exit__(None, None, None)
+                with prof_ctx:  # stop_trace even if a step raises
+                    for placed in prefetch_to_device(host, mesh,
+                                                     size=args.prefetch):
+                        state, lb = step(state, placed)
+                        losses.append(lb)
+                    if args.profile and epoch == start_epoch and losses:
+                        jax.block_until_ready(losses[-1].total)
+                if args.profile and epoch == start_epoch:
                     log.info("profiler trace written to %s", args.profile)
                 mean = {k: float(jnp.mean(jnp.stack([getattr(l, k) for l in losses])))
                         for k in ("total", "box", "cls", "dfl")}

@@ -223,9 +223,17 @@ def fit_cluster_labels(
         # (defaults 0) it falls through to refitting the argmax — the FIRST
         # — config even though every config was invalid. Mirror both.
         labels = np.zeros(len(feats), dtype=int)
+    elif best_params is None:
+        # calinski_harabasz all-invalid: refit grid[0] like the reference,
+        # but if that fit itself raises (the in-loop search swallowed it —
+        # e.g. GMM n_components > n_samples for every config) fall back to
+        # one cluster instead of killing the whole offline fit
+        try:
+            labels = factory(grid[0]).fit_predict(feats)
+        except Exception:
+            labels = np.zeros(len(feats), dtype=int)
     else:
-        labels = factory(best_params if best_params is not None
-                         else grid[0]).fit_predict(feats)
+        labels = factory(best_params).fit_predict(feats)
     if hyp.MAKE_EACH_ORPHAN_EACH_OWN_CLUSTER:
         labels = make_each_orphan_own_cluster(labels)
     return labels

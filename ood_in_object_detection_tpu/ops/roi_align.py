@@ -141,8 +141,7 @@ def roi_align_1x1_multi_level(
 ADAPTIVE_SMAX = 16
 
 
-def _axis_weights(lo, span, size: int, samples: int,
-                  smax: int = None) -> jnp.ndarray:
+def _axis_weights(lo, span, size: int, samples: int) -> jnp.ndarray:
     """Accumulated, mean-normalized bilinear weights of a uniform axis sample
     grid onto the integer pixel grid -> (..., size).
 
@@ -159,9 +158,8 @@ def _axis_weights(lo, span, size: int, samples: int,
     samples == 0: torchvision's adaptive default (sampling_ratio<=0),
     S = ceil(span) per box, computed in CLOSED FORM (see
     _axis_weights_adaptive) — exact for EVERY span, no sample dimension,
-    no cap. ``smax`` is accepted for API compatibility and ignored: the
-    closed form made the static sample-grid cap (and with it the fit-time
-    vs eval-time sampling split) obsolete."""
+    no cap (the closed form made the static sample-grid cap, and with it
+    the fit-time vs eval-time sampling split, obsolete)."""
     if samples == 0:
         return _axis_weights_adaptive(lo, span, size)
     t = (jnp.arange(samples, dtype=jnp.float32) + 0.5) / samples
@@ -224,11 +222,12 @@ def roi_align_1x1_batched_level(
     boxes_xyxy: jnp.ndarray,  # (B, N, 4) image pixels
     spatial_scale: float,
     samples: int = 4,
-    smax: int = None,
 ) -> jnp.ndarray:
     """Batched single-level 1x1 RoIAlign as one MXU matmul -> (B, N, C).
 
-    Identical math to roi_align_1x1_single_level, restructured for TPU: the
+    Same taps as roi_align_1x1_single_level (exactly, for fixed samples;
+    for samples=0 the host oracle stays capped at its smax while this path
+    is closed-form exact for every span), restructured for TPU: the
     S x S bilinear sample grid is separable (uniform grid ⊗ bilinear hats), so
     each box's pooled value is exactly ``Q @ flat`` with
     ``Q[n] = outer(wy[n], wx[n]) / S²`` — a dense batched matmul instead of
@@ -241,8 +240,8 @@ def roi_align_1x1_batched_level(
     # torchvision: roi width/height floored at 1 (aligned=False)
     bw = jnp.maximum(x2 - x1, 1.0)
     bh = jnp.maximum(y2 - y1, 1.0)
-    wx = _axis_weights(x1, bw, w, samples, smax)           # (B, N, W)
-    wy = _axis_weights(y1, bh, h, samples, smax)           # (B, N, H)
+    wx = _axis_weights(x1, bw, w, samples)                 # (B, N, W)
+    wy = _axis_weights(y1, bh, h, samples)                 # (B, N, H)
     q = (wy[..., :, None] * wx[..., None, :]).reshape(b, n, h * w)
     q = q.astype(fmap.dtype)
     flat = fmap.reshape(b, h * w, c)
@@ -263,7 +262,6 @@ def roi_and_exact_batched(
     level_idx: jnp.ndarray,        # (B, N) int32 in [0, L)
     img_w: int,
     samples: int = 4,
-    smax: int = None,
     use_pallas: bool = True,
 ) -> tuple:
     """Level-routed 1x1 RoIAlign *and* exact-position tap -> two (B, N, Cmax).
@@ -291,8 +289,8 @@ def roi_and_exact_batched(
         x1, y1 = bx[..., 0], bx[..., 1]
         bw = jnp.maximum(bx[..., 2] - x1, 1.0)
         bh = jnp.maximum(bx[..., 3] - y1, 1.0)
-        wx = _axis_weights(x1, bw, w, samples, smax)        # (B, N, W)
-        wy = _axis_weights(y1, bh, h, samples, smax)        # (B, N, H)
+        wx = _axis_weights(x1, bw, w, samples)              # (B, N, W)
+        wy = _axis_weights(y1, bh, h, samples)              # (B, N, H)
         # exact tap as one-hot separable weights at the box's own anchor cell
         # (same clipped local index as engine._exact_pos_features)
         local = jnp.clip(anchor_idx - off, 0, h * w - 1)
@@ -329,17 +327,17 @@ def batched_roi_align_1x1(
     level_idx: jnp.ndarray,        # (B, N)
     img_w: int,
     samples: int = 4,
-    smax: int = None,
 ) -> jnp.ndarray:
     """Per-box level-routed 1x1 RoIAlign -> (B, N, Cmax), zero-padded to the
-    widest level. Values match roi_align_1x1_multi_level exactly (same taps);
-    each level is computed batched and the per-box level select happens on
-    the (B, N, C) results."""
+    widest level. Values match roi_align_1x1_multi_level (same taps for
+    fixed samples; at samples=0 this path is closed-form exact for every
+    span while the host oracle caps at its smax); each level is computed
+    batched and the per-box level select happens on the (B, N, C) results."""
     cmax = max(f.shape[-1] for f in fmaps)
     out = None
     for li, f in enumerate(fmaps):
         scale = f.shape[2] / img_w  # width ratio, predict.py:69
-        v = roi_align_1x1_batched_level(f, boxes_xyxy, scale, samples, smax)
+        v = roi_align_1x1_batched_level(f, boxes_xyxy, scale, samples)
         if v.shape[-1] < cmax:
             v = jnp.pad(v, ((0, 0), (0, 0), (0, cmax - v.shape[-1])))
         out = v if out is None else jnp.where(

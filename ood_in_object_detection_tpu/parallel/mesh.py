@@ -68,11 +68,26 @@ def make_multislice_mesh(model: int = 1, sp: int = 1, devices=None) -> Mesh:
     """DCN-aware mesh for multi-slice deployments: groups devices by their
     slice_index so the ("data", ...) axes stay within a slice's ICI and only
     the leading "dcn" axis crosses DCN. Falls back to a dcn=1 mesh when the
-    runtime has a single slice (or none — CPU)."""
+    runtime has a single slice (or none — CPU).
+
+    Requires a single-controller runtime (Pathways / proxy backends), where
+    one process addresses every chip: device_put_batch places HOST arrays,
+    which cannot land on non-addressable devices under stock one-process-
+    per-host multislice JAX (there, feed per-host shards via
+    jax.make_array_from_process_local_data instead)."""
     devices = devices if devices is not None else jax.devices()
     n_slices = num_slices(devices)
     if n_slices == 1:
         return make_mesh(model=model, sp=sp, devices=devices)
+    addressable = {d.id for d in jax.local_devices()}
+    if not all(d.id in addressable for d in devices):
+        raise NotImplementedError(
+            "make_multislice_mesh needs a single-controller runtime: "
+            f"{sum(d.id not in addressable for d in devices)} of "
+            f"{len(devices)} devices are not addressable from this process, "
+            "so host batches cannot be device_put onto the dcn mesh. Feed "
+            "per-host shards (jax.make_array_from_process_local_data) or "
+            "run under Pathways.")
     ordered = sorted(devices, key=lambda d: (getattr(d, "slice_index", 0),
                                              d.id))
     per_slice = len(ordered) // n_slices
@@ -144,7 +159,11 @@ def prefetch_to_device(batches, mesh: Mesh, size: int = 2):
     consumer (device_put is async, so queuing the next transfer while the
     train step runs hides the PCIe/ICI copy — the standard JAX input-feed
     pattern; the reference relies on torch DataLoader pin_memory +
-    non_blocking copies for the same overlap, engine/trainer.py)."""
+    non_blocking copies for the same overlap, engine/trainer.py).
+
+    HBM note: size+1 input batches are resident at once (yielded + buffer);
+    at 640 px f32 batch 128 that is ~630 MB each. ``size=0`` disables
+    buffering (place-and-yield, the pre-prefetch footprint)."""
     import collections
 
     buf: "collections.deque" = collections.deque()
@@ -157,7 +176,11 @@ def prefetch_to_device(batches, mesh: Mesh, size: int = 2):
         except StopIteration:
             return False
 
-    for _ in range(max(size, 1)):
+    if size <= 0:
+        while enqueue():
+            yield buf.popleft()
+        return
+    for _ in range(size):
         if not enqueue():
             break
     while buf:

@@ -405,11 +405,11 @@ def test_roi_align_parity_vs_torchvision_semantics(ref):
         strides=[torch.from_numpy(level.astype(np.float32))],
         img_shape=[img, img], device=torch.device("cpu"))
 
-    # smax=128 (the offline-extraction setting) lifts the 16-sample cap so
-    # even the span-80 roi runs torchvision's exact ceil(span) grid
+    # the closed-form adaptive weights run torchvision's exact ceil(span)
+    # grid for every roi, span-80 included — no cap to lift
     ours = np.asarray(batched_roi_align_1x1(
         neck, jnp.asarray(boxes[None]), jnp.asarray(level[None]), img_w=img,
-        samples=0, smax=128))[0]
+        samples=0))[0]
 
     for s in range(3):
         idxs, feats = ref_out[0][s]
