@@ -1,0 +1,88 @@
+"""Online-serving demo: dynamic micro-batching on one chip.
+
+Shows the framework's serving layer (ood_in_object_detection_tpu.serving)
+coalescing concurrent single-image requests into fixed-batch device
+dispatches — the TPU-idiomatic way to trade latency for throughput with ONE
+compiled executable (static shapes, no recompiles). The reference has no
+online-serving layer; its closest analogue is request-at-a-time
+model.predict.
+
+Usage:
+  python examples/serving_demo.py [--model yolov8n] [--img 640]
+      [--batch 16] [--wait_ms 2.0] [--clients 8] [--requests 64]
+
+Prints per-request latency percentiles and aggregate throughput.
+
+NOTE on absolute numbers in THIS environment: the chip sits behind a
+remote-dispatch tunnel (~25 ms/call, ~10 MB/s for small transfers), so the
+demo measures the wire, not the chip — request latency is dominated by
+shipping the image. The chip-side truth is bench.py's on-device loops
+(batch-1 e2e ~1.06 ms/img, batch-128 ~7200 img/s on v5e); on a real TPU
+host (PCIe) this serving layer is compute-bound at those rates.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="yolov8n")
+    ap.add_argument("--img", type=int, default=640)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--wait_ms", type=float, default=2.0)
+    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--requests", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    from ood_in_object_detection_tpu.engine import Detector
+    from ood_in_object_detection_tpu.serving import MicroBatchServer
+
+    det = Detector.create(args.model, nc=20, img_size=args.img)
+    rng = np.random.default_rng(0)
+    # uint8 request payloads: the serving dtype (4x less wire than f32; the
+    # engine normalizes on device)
+    imgs = rng.uniform(0, 255, (args.requests, args.img, args.img, 3)
+                       ).astype(np.uint8)
+
+    lat, lock = [], threading.Lock()
+
+    def client(idxs):
+        for i in idxs:
+            t0 = time.perf_counter()
+            res = srv.predict_one(imgs[i])
+            dt = (time.perf_counter() - t0) * 1000.0
+            with lock:
+                lat.append(dt)
+            assert res["boxes"].shape[1] == 4
+
+    with MicroBatchServer(det, batch_size=args.batch,
+                          max_wait_ms=args.wait_ms) as srv:
+        chunks = np.array_split(np.arange(args.requests), args.clients)
+        threads = [threading.Thread(target=client, args=(c,)) for c in chunks]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+
+    lat = np.sort(np.asarray(lat))
+    print(f"requests={len(lat)} clients={args.clients} "
+          f"batch={args.batch} wait={args.wait_ms}ms")
+    print(f"latency ms: p50={np.percentile(lat, 50):.2f} "
+          f"p90={np.percentile(lat, 90):.2f} p99={np.percentile(lat, 99):.2f}")
+    print(f"throughput: {len(lat) / wall:.1f} img/s")
+
+
+if __name__ == "__main__":
+    main()

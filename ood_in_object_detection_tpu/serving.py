@@ -1,0 +1,174 @@
+"""Dynamic micro-batching for online serving.
+
+The reference serves detections one `model.predict` call at a time (its
+eval/benchmark drivers batch offline; there is no online-serving layer). On
+TPU the idiomatic serving shape is the opposite of request-at-a-time: ONE
+executable compiled at a fixed batch size (static shapes — no recompiles),
+with concurrent requests coalesced into micro-batches, padded up to the
+compiled size, and the per-image outputs scattered back to their callers.
+This module provides that layer:
+
+- requests enqueue a (image, Future) pair and block on the future
+- a collector thread drains up to ``batch_size`` requests, waiting at most
+  ``max_wait_ms`` for stragglers after the first arrival (the classic
+  latency/throughput knob), zero-pads the group to the compiled batch, and
+  dispatches the ONE jitted predict step
+- per-image slices of the padded PredictOutput resolve each future; padding
+  rows are computed but discarded (their cost is why batch-1 latency on
+  v5e is ~1 ms while peak throughput needs batch ~128 — callers pick the
+  batch/wait point for their SLO)
+
+Single-host scope: one process drives one chip (or a mesh via
+``Detector.predict_sharded`` — pass ``mesh=``). Device dispatch is
+serialized by the collector thread; JAX's async dispatch keeps the chip busy
+while the next group is collected.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class _Request:
+    image: np.ndarray
+    future: "Future[Any]"
+
+
+@dataclass
+class MicroBatchServer:
+    """Coalesce concurrent single-image predict requests into fixed-batch
+    device dispatches. ``detector`` is an ``engine.Detector``; images are
+    HWC uint8/float32 at the detector's ``img_size``."""
+
+    detector: Any
+    batch_size: int = 8
+    max_wait_ms: float = 2.0
+    conf_thres: float = 0.25
+    mesh: Any = None
+    pre_nms_k: int = 1024
+    _q: "queue.Queue[Optional[_Request]]" = field(default_factory=queue.Queue)
+    _thread: Optional[threading.Thread] = None
+
+    def start(self) -> "MicroBatchServer":
+        # compile the fixed-batch step up front so the first request does
+        # not pay the trace+compile latency. uint8 is the serving-path
+        # dtype (4x less host->device wire; the engine normalizes on
+        # device) — submit u8 images to stay on this executable, f32 ones
+        # compile a second variant on first use.
+        warm = jnp.zeros(
+            (self.batch_size, self.detector.img_size, self.detector.img_size, 3),
+            jnp.uint8)
+        self._predict(warm)
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._thread is not None:
+            self._q.put(None)
+            self._thread.join()
+            self._thread = None
+
+    def __enter__(self) -> "MicroBatchServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # ---- client API ----
+
+    def submit(self, image: np.ndarray) -> "Future[Any]":
+        """Enqueue one HWC image; the future resolves to that image's slice
+        of the batched PredictOutput as a dict of numpy arrays."""
+        assert self._thread is not None, "server not started"
+        fut: "Future[Any]" = Future()
+        self._q.put(_Request(np.asarray(image), fut))
+        return fut
+
+    def predict_one(self, image: np.ndarray) -> Any:
+        return self.submit(image).result()
+
+    # ---- server side ----
+
+    def _predict(self, images):
+        if self.mesh is not None:
+            return self.detector.predict_sharded(
+                images, self.mesh, conf_thres=self.conf_thres,
+                pre_nms_k=self.pre_nms_k)
+        return self.detector.predict(images, conf_thres=self.conf_thres,
+                                     pre_nms_k=self.pre_nms_k)
+
+    def _collect(self) -> Optional[List[_Request]]:
+        """Block for the first request, then drain up to batch_size within
+        max_wait_ms. None = shutdown sentinel."""
+        first = self._q.get()
+        if first is None:
+            return None
+        group = [first]
+        deadline = max(self.max_wait_ms, 0.0) / 1000.0
+        import time
+
+        t0 = time.perf_counter()
+        while len(group) < self.batch_size:
+            remaining = deadline - (time.perf_counter() - t0)
+            try:
+                nxt = (self._q.get_nowait() if remaining <= 0
+                       else self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+            if nxt is None:  # re-post shutdown for the outer loop
+                self._q.put(None)
+                break
+            group.append(nxt)
+        return group
+
+    def _loop(self) -> None:
+        while True:
+            group = self._collect()
+            if group is None:
+                return
+            try:
+                imgs = np.stack([r.image for r in group])
+                if len(group) < self.batch_size:  # pad to the compiled batch
+                    pad = np.zeros((self.batch_size - len(group),) +
+                                   imgs.shape[1:], imgs.dtype)
+                    imgs = np.concatenate([imgs, pad])
+                out = self._predict(jnp.asarray(imgs))
+                results = _split_output(out, len(group))
+                for r, res in zip(group, results):
+                    r.future.set_result(res)
+            except Exception as e:  # fail the whole group, keep serving
+                for r in group:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+
+def _split_output(out, n: int) -> List[dict]:
+    """Per-image numpy dicts from the batched PredictOutput (first n rows).
+
+    ONE device_get for all five tensors: the serving link can be a
+    high-latency tunnel (~25 ms/round-trip in this environment), so per-array
+    fetches would dominate the group latency."""
+    import jax
+
+    boxes, conf, cls, valid, logits = jax.device_get(
+        (out.det.boxes[:n], out.det.conf[:n], out.det.cls[:n],
+         out.det.valid[:n], out.logits[:n]))
+    results = []
+    for i in range(n):
+        m = valid[i]
+        results.append(dict(boxes=boxes[i][m], conf=conf[i][m],
+                            cls=cls[i][m], logits=logits[i][m],
+                            num_valid=int(m.sum())))
+    return results
+
+
+__all__ = ["MicroBatchServer"]

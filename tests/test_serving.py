@@ -1,0 +1,61 @@
+"""MicroBatchServer: coalesced serving matches direct batched predict."""
+
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from ood_in_object_detection_tpu.engine import Detector
+from ood_in_object_detection_tpu.serving import MicroBatchServer
+
+
+@pytest.fixture(scope="module")
+def det():
+    return Detector.create("yolov8n", nc=4, img_size=64)
+
+
+def test_serving_matches_direct_predict(det):
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (5, 64, 64, 3)).astype(np.float32)
+    direct = det.predict(jax.numpy.asarray(imgs[:4]), conf_thres=1e-6,
+                         pre_nms_k=64)
+    with MicroBatchServer(det, batch_size=4, max_wait_ms=50.0,
+                          conf_thres=1e-6, pre_nms_k=64) as srv:
+        # concurrent submits so one micro-batch coalesces all four
+        futs = [None] * 4
+
+        def put(i):
+            futs[i] = srv.submit(imgs[i])
+
+        threads = [threading.Thread(target=put, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        results = [f.result(timeout=120) for f in futs]
+
+        # a 5th lone request exercises the pad-partial-group path
+        lone = srv.predict_one(imgs[4])
+    assert lone["boxes"].shape[1] == 4
+
+    d_valid = np.asarray(direct.det.valid)
+    d_boxes = np.asarray(direct.det.boxes)
+    d_cls = np.asarray(direct.det.cls)
+    for i, res in enumerate(results):
+        assert res["num_valid"] == int(d_valid[i].sum())
+        np.testing.assert_allclose(res["boxes"], d_boxes[i][d_valid[i]],
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_array_equal(res["cls"], d_cls[i][d_valid[i]])
+
+
+def test_serving_error_propagates_and_keeps_serving(det):
+    with MicroBatchServer(det, batch_size=2, max_wait_ms=1.0,
+                          conf_thres=1e-6, pre_nms_k=64) as srv:
+        bad = srv.submit(np.zeros((7, 7, 3), np.float32))  # wrong size
+        with pytest.raises(Exception):
+            bad.result(timeout=120)
+        ok = srv.predict_one(
+            np.random.default_rng(1).uniform(0, 1, (64, 64, 3))
+            .astype(np.float32))
+        assert ok["num_valid"] >= 0
