@@ -54,6 +54,10 @@ class MicroBatchServer:
     conf_thres: float = 0.25
     mesh: Any = None
     pre_nms_k: int = 1024
+    # optional FITTED OoD method (logits/distance/fusion, after
+    # fit_ind_pipeline): each result then carries a per-box ``is_ood``
+    # verdict — serving the full paper capability, not just detections
+    ood_method: Any = None
     _q: "queue.Queue[Optional[_Request]]" = field(default_factory=queue.Queue)
     _thread: Optional[threading.Thread] = None
 
@@ -142,7 +146,13 @@ class MicroBatchServer:
                                    imgs.shape[1:], imgs.dtype)
                     imgs = np.concatenate([imgs, pad])
                 out = self._predict(jnp.asarray(imgs))
-                results = _split_output(out, len(group))
+                ood = None
+                if self.ood_method is not None:
+                    from .ood.pipeline import _decisions_for_method
+
+                    ood = _decisions_for_method(
+                        self.ood_method, out, self.detector.neck_channels())
+                results = _split_output(out, len(group), ood)
                 for r, res in zip(group, results):
                     r.future.set_result(res)
             except Exception as e:  # fail the whole group, keep serving
@@ -151,23 +161,31 @@ class MicroBatchServer:
                         r.future.set_exception(e)
 
 
-def _split_output(out, n: int) -> List[dict]:
+def _split_output(out, n: int, ood=None) -> List[dict]:
     """Per-image numpy dicts from the batched PredictOutput (first n rows).
 
-    ONE device_get for all five tensors: the serving link can be a
-    high-latency tunnel (~25 ms/round-trip in this environment), so per-array
-    fetches would dominate the group latency."""
+    ONE device_get for all tensors: the serving link can be a high-latency
+    tunnel (~25 ms/round-trip in this environment), so per-array fetches
+    would dominate the group latency."""
     import jax
 
-    boxes, conf, cls, valid, logits = jax.device_get(
-        (out.det.boxes[:n], out.det.conf[:n], out.det.cls[:n],
-         out.det.valid[:n], out.logits[:n]))
+    payload = (out.det.boxes[:n], out.det.conf[:n], out.det.cls[:n],
+               out.det.valid[:n], out.logits[:n]) + (
+                   (ood[:n],) if ood is not None else ())
+    fetched = jax.device_get(payload)
+    boxes, conf, cls, valid, logits = fetched[:5]
+    ood_np = fetched[5] if ood is not None else None
     results = []
     for i in range(n):
         m = valid[i]
-        results.append(dict(boxes=boxes[i][m], conf=conf[i][m],
-                            cls=cls[i][m], logits=logits[i][m],
-                            num_valid=int(m.sum())))
+        res = dict(boxes=boxes[i][m], conf=conf[i][m],
+                   cls=cls[i][m], logits=logits[i][m],
+                   num_valid=int(m.sum()))
+        if ood_np is not None:
+            # _decisions_for_method follows the reference convention
+            # 1 = InD / 0 = OoD; serve the OoD verdict directly
+            res["is_ood"] = ood_np[i][m] == 0
+        results.append(res)
     return results
 
 

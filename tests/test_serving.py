@@ -49,6 +49,33 @@ def test_serving_matches_direct_predict(det):
         np.testing.assert_array_equal(res["cls"], d_cls[i][d_valid[i]])
 
 
+def test_serving_with_fitted_ood_method(det):
+    """A fitted logits method attached to the server yields per-box is_ood
+    verdicts identical to the pipeline's decision path (1=InD convention
+    inverted to an OoD flag)."""
+    import jax.numpy as jnp
+
+    from ood_in_object_detection_tpu.ood.methods import LogitsOODMethod
+    from ood_in_object_detection_tpu.ood.pipeline import _decisions_for_method
+
+    method = LogitsOODMethod(name="MSP")
+    rng = np.random.default_rng(2)
+    ind_scores = [rng.uniform(0.2, 1.0, 50).astype(np.float32)
+                  for _ in range(det.nc)]
+    method.generate_thresholds(ind_scores, tpr=0.95)
+
+    imgs = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    direct_out = det.predict(jnp.asarray(imgs), conf_thres=1e-6, pre_nms_k=64)
+    direct_dec = np.asarray(_decisions_for_method(
+        method, direct_out, det.neck_channels()))
+    with MicroBatchServer(det, batch_size=2, max_wait_ms=1.0, conf_thres=1e-6,
+                          pre_nms_k=64, ood_method=method) as srv:
+        res = srv.predict_one(imgs[0])
+    valid0 = np.asarray(direct_out.det.valid[0])
+    np.testing.assert_array_equal(res["is_ood"], direct_dec[0][valid0] == 0)
+    assert res["is_ood"].dtype == bool and len(res["is_ood"]) == res["num_valid"]
+
+
 def test_serving_error_propagates_and_keeps_serving(det):
     with MicroBatchServer(det, batch_size=2, max_wait_ms=1.0,
                           conf_thres=1e-6, pre_nms_k=64) as srv:
