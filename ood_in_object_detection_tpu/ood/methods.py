@@ -79,7 +79,10 @@ class LogitsOODMethod:
     """MSP / Energy / ODIN / Sigmoid / NoMethod with per-class thresholds."""
 
     name: str
-    temper: float = 1.0
+    # None -> the reference CLI defaults: ODIN T=1000, everything else T=1
+    # (ood_evaluation.py:70); an explicit value is honored verbatim, so
+    # ODIN T=1 is expressible (no magic-value remap)
+    temper: Optional[float] = None
     is_distance_method: bool = False
     per_class: bool = True
     per_stride: bool = False
@@ -93,9 +96,17 @@ class LogitsOODMethod:
 
     def __post_init__(self):
         assert self.name in LOGITS_METHODS, self.name
+        if self.temper is None:
+            self.temper = 1000.0 if self.name == "ODIN" else 1.0
         raw = logits_score_fn(self.name, self.temper)
-        self._score = (raw if self.use_values_before_sigmoid
-                       else (lambda lg, cls: raw(jax.nn.sigmoid(lg), cls)))
+        if self.name == "Sigmoid" or self.use_values_before_sigmoid:
+            # Sigmoid's score IS sigmoid(logit)[cls]: with post-sigmoid
+            # activations the reference uses them directly (exactly one
+            # sigmoid either way, ood_utils.py:1436-1441) — wrapping would
+            # apply it twice
+            self._score = raw
+        else:
+            self._score = lambda lg, cls: raw(jax.nn.sigmoid(lg), cls)
 
     # -- extraction / fitting (host side, offline) --
     def scores_from_logits(self, logits: np.ndarray, cls: np.ndarray) -> np.ndarray:
@@ -211,9 +222,17 @@ class DistanceOODMethod:
 
     # -- clustering (host side; sklearn grid search in ood/clustering.py) --
     def generate_clusters(self, acts: Sequence[Sequence[np.ndarray]], logger=None,
-                          min_samples: int = 3):
-        """acts[class][stride] = (N, ...) activations (ood_utils.py:2263-2330)."""
+                          min_samples: Optional[int] = None):
+        """acts[class][stride] = (N, ...) activations (ood_utils.py:2263-2330).
+
+        min_samples defaults to CUSTOM_HYP.clusters.MIN_SAMPLES read at call
+        time (the reference gates on the live config, ood_utils.py:2303) —
+        so dotted-path sweeps over clusters.MIN_SAMPLES take effect here."""
+        from ..core.config import CUSTOM_HYP
         from .clustering import fit_cluster_labels
+
+        if min_samples is None:
+            min_samples = CUSTOM_HYP.clusters.MIN_SAMPLES
 
         agg = np.mean if self.agg == "mean" else np.median
         nc = len(acts)
@@ -232,10 +251,17 @@ class DistanceOODMethod:
                         self.cluster_optimization_metric,
                         tag=f"{self.name}_cls{c}_stride{s}",
                     )
+                    from ..core.config import CUSTOM_HYP
+
                     cents = []
                     for lab in sorted(set(labels.tolist())):
+                        if lab == -1 and CUSTOM_HYP.clusters.REMOVE_ORPHANS:
+                            # drop noise points instead of aggregating them
+                            # into a bogus centroid (ood_utils.py:2362-2366)
+                            continue
                         cents.append(agg(feats[labels == lab], axis=0))
-                    clusters[c][s] = np.stack(cents, axis=0)
+                    if cents:
+                        clusters[c][s] = np.stack(cents, axis=0)
         self.clusters = clusters
         self._bank = None
         return clusters
@@ -254,6 +280,21 @@ class DistanceOODMethod:
                  and c.ndim == 2 else c for c in row]
                 for row in self.clusters
             ]
+            if self.metric == "cosine":
+                # the Pallas kernel computes 1 - x·c assuming UNIT centroids;
+                # cluster centroids are means of unit vectors (|c| < 1), and
+                # the host pairwise_distance re-normalizes both sides — bake
+                # the normalization in here so device and host agree
+                # (padding-invariant: zero-padded dims don't change the norm)
+                # pure NumPy so the build stays concrete under an outer
+                # jit trace (jnp ops here would produce tracers)
+                padded = [
+                    [c / np.maximum(np.linalg.norm(c, axis=-1, keepdims=True),
+                                    1e-12)
+                     if isinstance(c, np.ndarray) and c.ndim == 2 else c
+                     for c in row]
+                    for row in padded
+                ]
             # the build must stay concrete even when first triggered inside a
             # jit trace (e.g. distances() under an outer jit): without this,
             # the cached bank is a tracer and poisons every later trace
@@ -342,6 +383,12 @@ class DistanceOODMethod:
             # (N, nc*S) group mins, then gather each box's (cls, stride) group
             from ..ops.pallas.distance import min_group_distances
 
+            if self.metric == "cosine":
+                # sklearn cosine normalizes BOTH sides; the kernel assumes
+                # unit rows (bank centroids are normalized at build).
+                # Idempotent for callers that already normalized; required
+                # for raw SDR embeddings (pipeline eval path).
+                feats = l2_normalize_rows(feats)
             nc, s, kmax, dd = bank.centroids.shape
             groups = bank.centroids.reshape(nc * s, kmax, dd)
             kmask = (jnp.arange(kmax)[None, :] < bank.count.reshape(-1)[:, None])

@@ -79,7 +79,7 @@ def logits_score_fn(name: str, temper: float = 1.0):
     if name == "Energy":
         return lambda l, c: energy_score(l, c, temper)
     if name == "ODIN":
-        return lambda l, c: odin_score(l, c, temper if temper != 1.0 else 1000.0)
+        return lambda l, c: odin_score(l, c, temper)
     if name == "Sigmoid":
         return sigmoid_score
     if name == "NoMethod":

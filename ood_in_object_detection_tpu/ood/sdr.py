@@ -145,7 +145,7 @@ def attach_sdr_transform(method, kind: str = "ivis") -> None:
             return np.asarray(l2_normalize_rows(jnp.asarray(flat)))
         return emb.transform(acts)
 
-    def generate_clusters(acts, logger=None, min_samples: int = 3):
+    def generate_clusters(acts, logger=None, min_samples=None):
         if state["embedders"] is None:
             ivis_p = CUSTOM_HYP.dr.ivis
             embedders: List[TripletEmbedder] = []

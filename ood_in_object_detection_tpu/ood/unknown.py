@@ -127,11 +127,15 @@ def recursive_otsu(image: np.ndarray, num_classes: int) -> List[float]:
 
 
 def multi_threshold_otsu(image: np.ndarray, num_classes: int, nbins: int = 128) -> List[float]:
-    """Exact multi-Otsu by exhaustive vectorized search over histogram bins
-    (skimage threshold_multiotsu semantics, nbins=128 as the reference
-    passes)."""
-    from itertools import combinations
+    """Exact multi-Otsu over histogram bins (skimage threshold_multiotsu
+    semantics, nbins=128 as the reference passes).
 
+    Dynamic program over cumulative moments — O(k * nbins^2) — instead of
+    the C(nbins-1, k) exhaustive cut search (which at num_classes=5 is
+    ~10M Python iterations, minutes per image): f[j][h] = best sum of
+    between-class terms w*m^2 splitting bins [0, h) into j classes; the
+    argmax table reconstructs the optimal cuts. Same objective, same
+    optimum (asserted against the exhaustive search in tests)."""
     vals = np.asarray(image, np.float64).ravel()
     counts, edges = np.histogram(vals, nbins)
     centers = (edges[:-1] + edges[1:]) / 2
@@ -139,21 +143,33 @@ def multi_threshold_otsu(image: np.ndarray, num_classes: int, nbins: int = 128) 
     csum = np.concatenate([[0.0], np.cumsum(p)])
     cmean = np.concatenate([[0.0], np.cumsum(p * centers)])
 
-    def class_var(lo, hi):  # bins [lo, hi)
-        w = csum[hi] - csum[lo]
-        if w <= 0:
-            return 0.0
-        m = (cmean[hi] - cmean[lo]) / w
-        return w * m * m
+    # V[lo, hi] = w * m^2 of bins [lo, hi): vectorized (nbins+1, nbins+1)
+    w = csum[None, :] - csum[:, None]
+    m = cmean[None, :] - cmean[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        V = np.where(w > 0, m * m / np.where(w > 0, w, 1.0), 0.0)
 
-    k = num_classes - 1
-    best, best_cut = -1.0, None
-    for cut in combinations(range(1, nbins), k):
-        bounds = (0,) + cut + (nbins,)
-        s = sum(class_var(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1))
-        if s > best:
-            best, best_cut = s, cut
-    return sorted(set(float(centers[c - 1]) for c in best_cut))
+    n_classes = num_classes
+    # f[h] = best objective splitting bins [0, h) into j classes (each class
+    # gets >= 1 bin); A[j][h] = the argmax start bin of the last class
+    f = V[0].copy()                      # j = 1
+    A = np.zeros((n_classes + 1, nbins + 1), np.int64)
+    for j in range(2, n_classes + 1):
+        g = np.full(nbins + 1, -np.inf)
+        for h in range(j, nbins + 1):
+            ms = np.arange(j - 1, h)
+            cand = f[ms] + V[ms, h]
+            i = int(np.argmax(cand))     # ties: smallest cut (lexicographic)
+            g[h] = cand[i]
+            A[j, h] = ms[i]
+        f = g
+    cuts = []
+    h = nbins
+    for j in range(n_classes, 1, -1):
+        h = int(A[j, h])
+        cuts.append(h)
+    cuts.reverse()
+    return sorted(set(float(centers[c - 1]) for c in cuts))
 
 
 def k_means_thresholding(image: np.ndarray, num_clusters: int) -> List[float]:

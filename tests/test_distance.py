@@ -100,3 +100,70 @@ def test_bank_built_under_jit_stays_concrete(rng):
     d1 = jax.jit(lambda f: m.distances(f, cls, stride))(feats)  # builds bank
     d2 = jax.jit(lambda f: m.distances(f, cls, stride) * 1.0)(feats)  # 2nd trace
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
+
+
+def test_cosine_bank_unit_norm_and_raw_feats_equivalence(rng):
+    """The device path assumes unit centroids (Pallas 1 - x·c) while cluster
+    centroids are MEANS of unit vectors (|c| < 1): bank() must normalize
+    them for cosine, and distances() must normalize raw (e.g. SDR-embedded)
+    features — so device semantics equal sklearn's normalize-both-sides
+    cosine for ANY caller."""
+    m = DistanceOODMethod.from_name("Cosine_cl_stride", cluster_method="all")
+    # multi-vector centroids with |c| far from 1
+    m.clusters = [[rng.normal(0, 1, (3, 8)).astype(np.float32) * 0.4
+                   for _ in range(3)] for _ in range(2)]
+    bank = m.bank()
+    norms = np.linalg.norm(np.asarray(bank.centroids), axis=-1)
+    counts = np.asarray(bank.count)
+    real = np.arange(bank.centroids.shape[2])[None, None, :] < counts[..., None]
+    np.testing.assert_allclose(norms[real], 1.0, rtol=1e-5)
+
+    feats = rng.normal(0, 1, (6, 8)).astype(np.float32) * 3.0  # NOT unit
+    cls = jnp.asarray([0, 0, 1, 1, 0, 1], jnp.int32)
+    stride = jnp.asarray([0, 1, 2, 0, 2, 1], jnp.int32)
+    got = np.asarray(m.distances(jnp.asarray(feats), cls, stride))
+    for i in range(6):
+        ref = pairwise_distances(feats[i : i + 1],
+                                 m.clusters[int(cls[i])][int(stride[i])],
+                                 metric="cosine").min()
+        np.testing.assert_allclose(got[i], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_remove_orphans_skips_noise_centroid(rng, monkeypatch):
+    """REMOVE_ORPHANS=True must drop -1-labelled points from centroid
+    aggregation (reference ood_utils.py:2362-2366) instead of building a
+    bogus noise centroid."""
+    from ood_in_object_detection_tpu.core.config import CUSTOM_HYP
+    from ood_in_object_detection_tpu.ood import clustering as cl
+
+    feats = rng.normal(0, 1, (12, 4)).astype(np.float32)
+    labels = np.array([0] * 5 + [1] * 4 + [-1] * 3)
+    monkeypatch.setattr(cl, "fit_cluster_labels",
+                        lambda *a, **k: labels.copy())
+    acts = [[feats, np.empty(0), np.empty(0)]]
+
+    m = DistanceOODMethod.from_name("L2_cl_stride", cluster_method="DBSCAN")
+    monkeypatch.setattr(CUSTOM_HYP.clusters, "REMOVE_ORPHANS", True)
+    m.generate_clusters(acts)
+    assert m.clusters[0][0].shape[0] == 2  # clusters 0 and 1 only
+
+    monkeypatch.setattr(CUSTOM_HYP.clusters, "REMOVE_ORPHANS", False)
+    m2 = DistanceOODMethod.from_name("L2_cl_stride", cluster_method="DBSCAN")
+    m2.generate_clusters(acts)
+    assert m2.clusters[0][0].shape[0] == 3  # -1 aggregated like the reference
+
+
+def test_min_samples_gate_reads_live_config(rng, monkeypatch):
+    """clusters.MIN_SAMPLES sweeps (dotted-path overrides) must gate cluster
+    creation like the reference's live-config check (ood_utils.py:2303)."""
+    from ood_in_object_detection_tpu.core.config import CUSTOM_HYP
+
+    feats = rng.normal(0, 1, (5, 4)).astype(np.float32)
+    acts = [[feats, np.empty(0), np.empty(0)]]
+    m = DistanceOODMethod.from_name("L2_cl_stride")
+    monkeypatch.setattr(CUSTOM_HYP.clusters, "MIN_SAMPLES", 10)
+    m.generate_clusters(acts)
+    assert m.clusters[0][0].size == 0  # 5 samples <= 10: no cluster
+    monkeypatch.setattr(CUSTOM_HYP.clusters, "MIN_SAMPLES", 3)
+    m.generate_clusters(acts)
+    assert m.clusters[0][0].size > 0

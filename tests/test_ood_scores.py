@@ -108,3 +108,44 @@ def test_hungarian_matching_semantics():
     tcls2 = np.array([0], float)
     valid2 = match_predictions_to_targets(preds2, pcls2, tgts2, tcls2, 0.5)
     assert valid2 == [0]
+
+
+def test_sigmoid_post_sigmoid_inputs_apply_sigmoid_once():
+    """use_values_before_sigmoid=False must not sigmoid twice for the
+    Sigmoid method: the reference applies it only when the flag is True
+    (ood_utils.py:1436-1441); with post-sigmoid activations it uses them
+    directly — on our raw-logit tap both flag values give sigmoid(logit)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ood_in_object_detection_tpu.ood.methods import LogitsOODMethod
+
+    logits = jnp.asarray([[2.0, -1.0], [0.5, 3.0]], jnp.float32)
+    cls = jnp.asarray([0, 1], jnp.int32)
+    pre = LogitsOODMethod(name="Sigmoid", use_values_before_sigmoid=True)
+    post = LogitsOODMethod(name="Sigmoid", use_values_before_sigmoid=False)
+    want = 1.0 / (1.0 + np.exp(-np.asarray([2.0, 3.0])))
+    np.testing.assert_allclose(np.asarray(pre._score(logits, cls)), want,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(post._score(logits, cls)), want,
+                               rtol=1e-6)
+
+
+def test_odin_explicit_t1_honored():
+    """ODIN with an explicit temper=1.0 must run at T=1 (no magic remap to
+    1000); the None default resolves to the reference CLI default 1000."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ood_in_object_detection_tpu.ood.methods import LogitsOODMethod
+    from ood_in_object_detection_tpu.ood.scores import odin_score
+
+    logits = jnp.asarray([[2.0, -1.0, 0.3]], jnp.float32)
+    cls = jnp.asarray([0], jnp.int32)
+    t1 = LogitsOODMethod(name="ODIN", temper=1.0)
+    np.testing.assert_allclose(np.asarray(t1._score(logits, cls)),
+                               np.asarray(odin_score(logits, cls, 1.0)))
+    default = LogitsOODMethod(name="ODIN")
+    assert default.temper == 1000.0
+    np.testing.assert_allclose(np.asarray(default._score(logits, cls)),
+                               np.asarray(odin_score(logits, cls, 1000.0)))

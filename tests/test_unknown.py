@@ -290,3 +290,43 @@ def test_eul_frontend_batched_host_fallback():
     hyp.THRESHOLDING_METHOD = "k_means"
     assert eul_frontend_batched(np.zeros((1, 8, 8, 4), np.float32),
                                 [((1.0, 1.0), (0.0, 0.0))], hyp=hyp) is None
+
+
+def test_multi_otsu_dp_matches_exhaustive(rng):
+    """The O(k*nbins^2) dynamic program must find the same optimal cuts as
+    the exhaustive C(nbins-1, k) search over the identical w*m^2 objective
+    (the DP replaced the exhaustive loop, which took minutes per image at
+    NUM_THRESHOLDS=4)."""
+    from itertools import combinations
+
+    from ood_in_object_detection_tpu.ood.unknown import multi_threshold_otsu
+
+    def exhaustive(image, num_classes, nbins):
+        vals = np.asarray(image, np.float64).ravel()
+        counts, edges = np.histogram(vals, nbins)
+        centers = (edges[:-1] + edges[1:]) / 2
+        p = counts.astype(np.float64)
+        csum = np.concatenate([[0.0], np.cumsum(p)])
+        cmean = np.concatenate([[0.0], np.cumsum(p * centers)])
+
+        def cv(lo, hi):
+            w = csum[hi] - csum[lo]
+            if w <= 0:
+                return 0.0
+            m = (cmean[hi] - cmean[lo]) / w
+            return w * m * m
+
+        best, best_cut = -1.0, None
+        for cut in combinations(range(1, nbins), num_classes - 1):
+            b = (0,) + cut + (nbins,)
+            s = sum(cv(b[i], b[i + 1]) for i in range(len(b) - 1))
+            if s > best:
+                best, best_cut = s, cut
+        return sorted(set(float(centers[c - 1]) for c in best_cut))
+
+    img = np.concatenate([rng.normal(0, 1, 300), rng.normal(5, 0.5, 200),
+                          rng.normal(9, 0.7, 150)])
+    for nc, nb in [(2, 128), (3, 48), (4, 24), (5, 16)]:
+        np.testing.assert_allclose(multi_threshold_otsu(img, nc, nb),
+                                   exhaustive(img, nc, nb),
+                                   err_msg=f"classes={nc} bins={nb}")
