@@ -1,0 +1,110 @@
+"""predict / val CLI smoke: the reference's `yolo predict` / `yolo val`
+entrypoint capabilities (engine/predictor.py stream_inference,
+engine/validator.py) over the jitted fixed-batch step."""
+
+import json
+import types
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def img_dir(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    for i, hw in enumerate([(50, 70), (64, 64), (90, 40)]):
+        img = rng.uniform(0, 255, (*hw, 3)).astype(np.uint8)
+        Image.fromarray(img).save(d / f"img{i}.jpg")
+    return d
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+
+    from ood_in_object_detection_tpu.core.checkpoint import save_checkpoint
+    from ood_in_object_detection_tpu.models import build_model
+
+    model = build_model("yolov8n", nc=2)
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
+    state = types.SimpleNamespace(params=variables["params"],
+                                  ema_params=variables["params"],
+                                  batch_stats=variables["batch_stats"],
+                                  opt_state=None)
+    p = tmp_path_factory.mktemp("ckpt") / "run"
+    save_checkpoint(p, state, train_args={"name": "t", "nc": 2},
+                    model_name="yolov8n", epoch=0)
+    return str(p)
+
+
+def test_predict_cli_end_to_end(img_dir, tiny_ckpt, tmp_path):
+    from ood_in_object_detection_tpu.cli import predict as predict_cli
+
+    out = tmp_path / "pred"
+    predict_cli.main([
+        "--source", str(img_dir), "--model_path", tiny_ckpt,
+        "--img_size", "64", "--batch_size", "2", "--conf", "1e-9",
+        "--save_dir", str(out), "--save_txt", "--save_json",
+    ])
+    assert len(list(out.glob("*_pred.jpg"))) == 3  # annotated per image
+    txts = sorted(out.glob("img*.txt"))
+    assert len(txts) == 3
+    for t in txts:
+        for line in t.read_text().splitlines():
+            vals = line.split()
+            assert len(vals) == 6  # cls cx cy w h conf
+            cx, cy, w, h, conf = map(float, vals[1:])
+            # normalized to the SOURCE image (boxes were scaled back)
+            assert 0 <= cx <= 1 and 0 <= cy <= 1 and 0 < conf <= 1
+    dets = json.loads((out / "predictions.json").read_text())
+    assert dets and {"image", "bbox", "category", "name", "score"} <= set(dets[0])
+    # every box lies inside its source image bounds
+    from PIL import Image
+
+    sizes = {str(p): Image.open(p).size for p in img_dir.iterdir()}
+    for d in dets:
+        w, h = sizes[d["image"]]
+        x1, y1, x2, y2 = d["bbox"]
+        assert 0 <= x1 <= x2 <= w + 1e-6 and 0 <= y1 <= y2 <= h + 1e-6
+
+
+def test_predict_cli_glob_and_single_file(img_dir, tmp_path):
+    from ood_in_object_detection_tpu.cli.predict import collect_sources
+
+    assert len(collect_sources([str(img_dir)])) == 3
+    assert len(collect_sources([str(img_dir / "img0.jpg")])) == 1
+    with pytest.raises(FileNotFoundError):
+        collect_sources([str(img_dir / "nothing*.jpg")])
+
+
+def test_val_cli_end_to_end(tiny_ckpt, tmp_path):
+    from PIL import Image
+
+    from ood_in_object_detection_tpu.cli import val as val_cli
+
+    root = tmp_path / "ds"
+    (root / "images").mkdir(parents=True)
+    (root / "labels").mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(4):
+        img = rng.uniform(0, 255, (60, 80, 3)).astype(np.uint8)
+        Image.fromarray(img).save(root / "images" / f"v{i}.jpg")
+        (root / "labels" / f"v{i}.txt").write_text(f"{i % 2} 0.5 0.5 0.4 0.5\n")
+    (root / "val.txt").write_text(
+        "\n".join(f"./images/v{i}.jpg" for i in range(4)))
+    (root / "data.yaml").write_text(
+        "path: .\ntrain: val.txt\nval: val.txt\nnames:\n  0: cat\n  1: dog\n")
+
+    out_json = tmp_path / "metrics.json"
+    metrics = val_cli.main([
+        "--model_path", tiny_ckpt, "--dataset", str(root / "data.yaml"),
+        "--img_size", "64", "--batch_size", "4", "--out", str(out_json),
+    ])
+    assert 0.0 <= metrics["mAP50"] <= 1.0
+    saved = json.loads(out_json.read_text())
+    assert saved["mAP50"] == pytest.approx(metrics["mAP50"])
