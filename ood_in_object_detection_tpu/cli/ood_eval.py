@@ -100,6 +100,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load_thresholds", action="store_true")
     p.add_argument("--img_size", type=int, default=640)
     p.add_argument("--compute_metrics", action="store_true", default=True)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard every predict batch over all local devices"
+                        " (one SPMD executable on a ('dcn','data') mesh)."
+                        " The reference fans its eval sweeps out as one"
+                        " process per GPU (replicate/benchmarks_v8.sh); here"
+                        " one process drives the whole mesh")
+    from ..utils.compile_cache import add_compile_cache_flag
+
+    add_compile_cache_flag(p)
     return p
 
 
@@ -154,7 +163,8 @@ def configure_ind(args, detector, method, batches, logger) -> None:
         logger.info("loaded InD activations from %s", paths["activations"])
     else:
         t0 = time.perf_counter()
-        acts = extract_ind_activations(detector, batches, method, args.conf_thr_train)
+        acts = extract_ind_activations(detector, batches, method, args.conf_thr_train,
+                                       mesh=getattr(args, "mesh_obj", None))
         logger.info("extracted InD activations in %.1fs", time.perf_counter() - t0)
         paths["activations"].write_bytes(pickle.dumps({k: v for k, v in acts.items()}))
     # re-key by position (pickle loses object ids across processes)
@@ -213,10 +223,13 @@ def run_eval(args, detector, method, logger) -> List[Dict]:
             detector, batches, method, known, names,
             conf_thr_test=args.conf_thr_test,
             enhanced_unk_localization=args.enhanced_unk_localization,
-            logger=logger, visualize_dir=vis_dir)
+            logger=logger, visualize_dir=vis_dir,
+            mesh=getattr(args, "mesh_obj", None))
         logger.info("%s -> %s", ds.yaml_name, metrics)
         fill_dataset_results(row, _dataset_key(ds.yaml_name), metrics, args.owod_task_ood)
-    rows.append(finalize_row(row, f"{args.model_version}{args.model}", vars(args)))
+    rows.append(finalize_row(row, f"{args.model_version}{args.model}",
+                             {k: v for k, v in vars(args).items()
+                              if k != "mesh_obj"}))
     return rows
 
 
@@ -231,6 +244,9 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     logger = log
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache(args.compile_cache)
     # hyperparameter switches (reference ood_evaluation.py:163-176)
     if args.remove_orphans:
         CUSTOM_HYP.clusters.REMOVE_ORPHANS = True
@@ -239,6 +255,15 @@ def main(argv=None) -> None:
 
     ind = load_dataset(args, args.ind_dataset, args.ind_split, args.owod_task_ind)
     detector = load_detector(args, default_nc=ind.number_of_classes)
+    args.mesh_obj = None
+    if getattr(args, "data_parallel", False):
+        from ..parallel import make_multislice_mesh
+
+        args.mesh_obj = make_multislice_mesh(model=1)
+        n = args.mesh_obj.devices.size
+        assert args.batch_size % n == 0, \
+            f"--batch_size {args.batch_size} must divide over {n} devices"
+        logger.info("data-parallel eval over mesh %s", dict(args.mesh_obj.shape))
     method = build_ood_method(
         args.ood_method, args.cluster_method, args.cluster_optimization_metric,
         args.fusion_strategy, args.temperature_energy, args.temperature_odin,
@@ -274,7 +299,8 @@ def main(argv=None) -> None:
                           args.owod_task_ood)
         data = collect_fusion_member_indness(
             detector, PaddedBatcher(ds, args.batch_size, args.img_size),
-            method, conf_thr_test=args.conf_thr_test)
+            method, conf_thr_test=args.conf_thr_test,
+            mesh=getattr(args, "mesh_obj", None))
         Path(args.dump_fusion_scores).parent.mkdir(parents=True, exist_ok=True)
         np.savez(args.dump_fusion_scores, **data)
         logger.info("fusion member scores -> %s", args.dump_fusion_scores)

@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="one predictions.json with every detection")
     p.add_argument("--names", default="",
                    help="dataset yaml whose `names` map labels the classes")
+    from ..utils.compile_cache import add_compile_cache_flag
+
+    add_compile_cache_flag(p)
     return p
 
 
@@ -140,6 +143,9 @@ def build_detector(args):
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache(args.compile_cache)
     from PIL import Image
 
     from ..data.letterbox import letterbox_np, scale_boxes_back

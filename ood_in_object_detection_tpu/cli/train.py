@@ -67,12 +67,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="classification-model .pt whose backbone (layers 0-6) "
                         "is grafted before training "
                         "(reference custom_training.py:129-133)")
+    from ..utils.compile_cache import add_compile_cache_flag
+
+    add_compile_cache_flag(p)
     return p
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache(args.compile_cache)
 
     from ..data import DetectionDataset, PaddedBatcher
     from ..models import build_model

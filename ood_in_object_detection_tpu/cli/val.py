@@ -32,12 +32,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--img_size", type=int, default=640)
     p.add_argument("--max_gt", type=int, default=128)
     p.add_argument("--out", default="", help="optional metrics json path")
+    from ..utils.compile_cache import add_compile_cache_flag
+
+    add_compile_cache_flag(p)
     return p
 
 
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache(args.compile_cache)
 
     from ..core.checkpoint import load_checkpoint
     from ..data import DetectionDataset

@@ -44,6 +44,19 @@ def _np(x):
     return np.asarray(x)
 
 
+def _predict_step(detector: Detector, conf_thres: float, mesh=None):
+    """``images -> PredictOutput`` closure. With a ``mesh``, every batch is
+    DP-sharded via ``Detector.predict_sharded`` (weights replicated once,
+    batch over the ("dcn","data") axes) — the reference parallelizes its eval
+    sweeps by launching one process per GPU (replicate/benchmarks_v8.sh);
+    here ONE process drives all chips with the same SPMD executable."""
+    if mesh is None:
+        fn = detector.predict_fn(conf_thres=conf_thres)
+        return lambda images: fn(detector.variables, images)
+    return lambda images: detector.predict_sharded(images, mesh,
+                                                   conf_thres=conf_thres)
+
+
 def _leaf_methods(method) -> List[object]:
     if isinstance(method, FusionOODMethod):
         out = []
@@ -59,6 +72,7 @@ def extract_ind_activations(
     method,
     conf_thr_train: float = 0.15,
     iou_thr_matching: Optional[float] = None,
+    mesh=None,
 ) -> Dict[int, object]:
     """-> {id(leaf_method): activations} for every leaf method in one pass.
 
@@ -76,10 +90,10 @@ def extract_ind_activations(
         else:
             acc[id(m)] = [[[] for _ in range(3)] for _ in range(nc)]
 
-    step = detector.predict_fn(conf_thres=conf_thr_train)
+    step = _predict_step(detector, conf_thr_train, mesh)
     img_w = detector.img_size
     for batch in batches:
-        out: PredictOutput = step(detector.variables, batch["images"])
+        out: PredictOutput = step(batch["images"])
         boxes = _np(out.det.boxes)
         cls = _np(out.det.cls)
         valid = _np(out.det.valid)
@@ -314,13 +328,14 @@ def evaluate_method(
     logger=None,
     visualize_dir: Optional[str] = None,
     visualize_batches: int = 2,
+    mesh=None,
 ) -> Dict[str, float]:
     """Full metric loop (reference ood_utils.py:428-582). With
     ``visualize_dir``, the first batches are rendered with OoD verdicts
     (reference iterate_data_to_plot_with_ood_labels, ood_utils.py:349-427)."""
     logger = logger or log
     neck_ch = detector.neck_channels()
-    step = detector.predict_fn(conf_thres=conf_thr_test)
+    step = _predict_step(detector, conf_thr_test, mesh)
     all_preds, all_targets = [], []
     known_arr = np.asarray(list(known_classes))
 
@@ -347,14 +362,14 @@ def evaluate_method(
             p = cache_dir / f"{cache_tag}_{batch_idx}.pkl"
             if p.exists():
                 return PredictOutput(*pickle.loads(p.read_bytes()))
-            out = step(detector.variables, images)
+            out = step(images)
             slim = PredictOutput(
                 out.det, out.logits, out.stride_level, out.anchor_idx,
                 out.roi_feats, out.exact_feats,
                 (out.neck[0],) if enhanced_unk_localization else ())
             p.write_bytes(pickle.dumps(jax.tree.map(np.asarray, tuple(slim))))
             return out
-        return step(detector.variables, images)
+        return step(images)
 
     if enhanced_unk_localization:
         dmethods = [m for m in _leaf_methods(method) if isinstance(m, DistanceOODMethod)]
@@ -465,6 +480,7 @@ def collect_fusion_member_indness(
     batches,
     fusion,
     conf_thr_test: float = 0.15,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Per-box INDness of every fusion member + the fused decision, for the
     score-fusion analysis figure (reference score_fusion_plot.ipynb: member
@@ -473,11 +489,11 @@ def collect_fusion_member_indness(
     (N,), 'cls' (N,), 'conf' (N,)} over all valid boxes."""
     assert isinstance(fusion, FusionOODMethod), "needs a fusion method"
     neck_ch = detector.neck_channels()
-    step = detector.predict_fn(conf_thres=conf_thr_test)
+    step = _predict_step(detector, conf_thr_test, mesh)
     per_member: List[List[np.ndarray]] = [[] for _ in fusion.methods]
     dec_all, cls_all, conf_all = [], [], []
     for batch in batches:
-        out: PredictOutput = step(detector.variables, batch["images"])
+        out: PredictOutput = step(batch["images"])
         member = [_np(_decisions_for_method(m, out, neck_ch, want_scores=True))
                   for m in fusion.methods]
         fused = _np(_decisions_for_method(fusion, out, neck_ch))

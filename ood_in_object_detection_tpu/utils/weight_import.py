@@ -160,6 +160,42 @@ def import_state_dict(variables, state_dict: Dict[str, np.ndarray],
     return out, missing
 
 
+def export_state_dict(variables, detect_layer_idx: int,
+                      reg_max: int = 16) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_state_dict`: flatten our params/batch_stats
+    into a flat ultralytics-named, torch-layout ``state_dict`` (conv kernels
+    transposed back to ``(O, I/g, kh, kw)``), so a model trained HERE can be
+    loaded into the reference's torch ``DetectionModel`` (``strict=True``)
+    and run inside its pipeline.
+
+    Synthesized torch-only tensors:
+    - ``model.<detect>.dfl.conv.weight`` — the reference's DFL conv is a
+      frozen ``arange(reg_max)`` (nn/modules/block.py DFL); parameter-free
+      on our side (fixed lookup in the decode), reconstructed here.
+    - per-BN ``num_batches_tracked`` zeros (torch bookkeeping, inference-inert).
+    """
+    import jax
+
+    def keystr(kp):
+        return tuple(getattr(k, "key", getattr(k, "name", str(k))) for k in kp)
+
+    out: Dict[str, np.ndarray] = {}
+    for coll in ("params", "batch_stats"):
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(
+                variables.get(coll, {}))[0]:
+            tname = torch_name_for_path(keystr(kp), detect_layer_idx)
+            a = np.asarray(leaf, np.float32)
+            if a.ndim == 4:  # (kh, kw, I/g, O) -> (O, I/g, kh, kw)
+                a = a.transpose(3, 2, 0, 1)
+            out[tname] = a
+    for k in [k for k in out if k.endswith(".running_mean")]:
+        out[k[: -len("running_mean")] + "num_batches_tracked"] = \
+            np.zeros((), np.int64)
+    out[f"model.{detect_layer_idx}.dfl.conv.weight"] = \
+        np.arange(reg_max, dtype=np.float32).reshape(1, reg_max, 1, 1)
+    return out
+
+
 def state_dict_from_torch_file(path: str) -> Dict[str, np.ndarray]:
     """Extract a flat numpy state_dict from an ultralytics .pt checkpoint
     without importing the ultralytics package (torch weights_only load of the

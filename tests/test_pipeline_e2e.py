@@ -141,3 +141,35 @@ def test_benchmark_cache_slim_and_reused(tiny_dataset, detector, tmp_path,
     monkeypatch.setattr(detector, "predict_fn", lambda *a, **k: boom)
     res2 = evaluate_method(detector, batches, m, **kw)
     assert res1 == res2
+
+
+def test_data_parallel_eval_matches_single_device(tiny_dataset, detector):
+    """--data_parallel capability: the whole extract->fit->evaluate pipeline
+    over an 8-device DP mesh reproduces the single-device thresholds and
+    metrics exactly (the reference's per-GPU process fan-out collapsed into
+    one SPMD program; ood/pipeline.py _predict_step)."""
+    from ood_in_object_detection_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=8, model=1)
+    single = list(PaddedBatcher(tiny_dataset, batch_size=4, img_size=96, max_gt=8))
+    sharded = list(PaddedBatcher(tiny_dataset, batch_size=8, img_size=96, max_gt=8))
+    kw = dict(known_classes=[0, 1], class_names=["c0", "c1", "unknown"],
+              conf_thr_test=1e-9)
+
+    m1 = LogitsOODMethod("MSP")
+    acts1 = extract_ind_activations(detector, single, m1, conf_thr_train=1e-9)
+    fit_ind_pipeline(m1, acts1, tpr=0.95)
+    res1 = evaluate_method(detector, single, m1, **kw)
+
+    m8 = LogitsOODMethod("MSP")
+    acts8 = extract_ind_activations(detector, sharded, m8, conf_thr_train=1e-9,
+                                    mesh=mesh)
+    fit_ind_pipeline(m8, acts8, tpr=0.95)
+    np.testing.assert_allclose(
+        np.asarray(m8.thresholds, np.float64),
+        np.asarray(m1.thresholds, np.float64), rtol=1e-5, atol=1e-7)
+    res8 = evaluate_method(detector, sharded, m8, mesh=mesh, **kw)
+    assert set(res1) == set(res8)
+    for k in res1:
+        np.testing.assert_allclose(res8[k], res1[k], rtol=1e-5, atol=1e-7,
+                                   err_msg=k)

@@ -380,3 +380,40 @@ def test_imagenet_backbone_graft(tmp_path):
         np.asarray(new_vars["params"]["detect"]["cv3_0_2"]["conv"]["kernel"]),
         before["detect"]["cv3_0_2"]["conv"]["kernel"])
     del got
+
+
+@pytest.mark.parametrize("name", ["yolov8n", "yolo11n", "yolov10n"])
+def test_export_state_dict_roundtrip(name):
+    """Reverse interop: our randomly initialised flax model exports an
+    ultralytics-format state_dict (utils/weight_import.py export_state_dict)
+    that the reference's torch DetectionModel loads with strict=True, and the
+    two forwards then agree — a model trained HERE runs in the reference's
+    torch pipeline unchanged."""
+    import torch
+
+    fm = build_model(name, nc=80)
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    # randomized init so BN-stat transposition bugs can't hide
+    variables = fm.init(jax.random.PRNGKey(3), imgs, train=False)
+    variables = jax.tree.map(
+        lambda a: (jax.random.uniform(jax.random.PRNGKey(a.size % 997),
+                                      a.shape, jnp.float32, 0.5, 1.5)
+                   if a.ndim <= 1 else a), variables)
+
+    from ood_in_object_detection_tpu.utils.weight_import import export_state_dict
+
+    tm = build_reference_model(name, randomize=False)
+    sd = export_state_dict(variables, detect_layer_idx=len(tm.model) - 1)
+    res = tm.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                              for k, v in sd.items()}, strict=True)
+    assert not res.missing_keys and not res.unexpected_keys
+
+    x = np.random.default_rng(1).uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    t_boxes, t_logits, t_raw, _ = reference_forward(tm, x)
+    out = model_forward(fm, variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    for i in range(3):
+        ours = np.asarray(out["raw_levels"][i]).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, t_raw[i], atol=2e-4,
+                                   err_msg=f"raw head level {i}")
+    np.testing.assert_allclose(np.asarray(out["boxes_xywh"]), t_boxes, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out["cls_logits"]), t_logits, atol=2e-4)
