@@ -60,6 +60,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="one predictions.json with every detection")
     p.add_argument("--names", default="",
                    help="dataset yaml whose `names` map labels the classes")
+    p.add_argument("--ood_method", default="",
+                   help="fitted OoD method for per-box verdicts (method name "
+                        "or fusion-M1-M2[-M3]; needs --ood_thresholds from a "
+                        "cli.ood_eval run)")
+    p.add_argument("--ood_thresholds", default="",
+                   help="*_thresholds.pkl written by cli.ood_eval")
+    p.add_argument("--ood_clusters", default="",
+                   help="*_clusters.pkl written by cli.ood_eval (distance "
+                        "methods)")
+    p.add_argument("--fusion_strategy", default="none",
+                   choices=["and", "or", "score", "none"])
     from ..utils.compile_cache import add_compile_cache_flag
 
     add_compile_cache_flag(p)
@@ -140,6 +151,40 @@ def build_detector(args):
     return Detector.create(name, nc=args.nc, img_size=args.img_size), args.nc
 
 
+def load_ood_method(args):
+    """Rebuild a FITTED OoD method from the pkl artifacts a cli.ood_eval run
+    writes (configure_ind cache files): thresholds (+ clusters for distance
+    methods) are assigned per leaf in factory order."""
+    if not args.ood_method:
+        return None
+    import pickle
+
+    from ..ood.methods import DistanceOODMethod
+    from ..ood.pipeline import _leaf_methods
+    from .factory import build_ood_method
+
+    assert args.ood_thresholds, "--ood_method needs --ood_thresholds"
+    method = build_ood_method(args.ood_method,
+                              fusion_strategy=args.fusion_strategy)
+    leaves = _leaf_methods(method)
+    thr = pickle.loads(Path(args.ood_thresholds).read_bytes())
+    assert len(thr) == len(leaves), \
+        f"{len(thr)} threshold entries for {len(leaves)} method leaves"
+    for m, t in zip(leaves, thr):
+        m.thresholds = t
+    if args.ood_clusters:
+        stored = pickle.loads(Path(args.ood_clusters).read_bytes())
+        for m, cl in zip(leaves, stored):
+            if isinstance(m, DistanceOODMethod) and cl is not None:
+                m.clusters = cl
+                m._bank = None
+    for m in leaves:
+        if isinstance(m, DistanceOODMethod):
+            assert m.clusters, (f"distance method {m.name} needs "
+                                "--ood_clusters with fitted centroids")
+    return method
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -153,6 +198,8 @@ def main(argv=None) -> None:
     paths = collect_sources(args.source)
     detector, nc = build_detector(args)
     names = load_class_names(args, nc)
+    ood_method = load_ood_method(args)
+    neck_ch = detector.neck_channels() if ood_method is not None else None
     step = detector.predict_fn(conf_thres=args.conf, iou_thres=args.iou,
                                max_det=args.max_det)
     save_dir = Path(args.save_dir)
@@ -175,6 +222,12 @@ def main(argv=None) -> None:
         batch[: len(group)] = np.stack(imgs)
         t0 = time.perf_counter()
         out = step(detector.variables, batch)
+        decisions = None  # reference convention: 1 = InD, 0 = OoD
+        if ood_method is not None:
+            from ..ood.pipeline import _decisions_for_method
+
+            decisions = np.asarray(
+                _decisions_for_method(ood_method, out, neck_ch))
         boxes = np.asarray(out.det.boxes)
         conf = np.asarray(out.det.conf)
         cls = np.asarray(out.det.cls).astype(int)
@@ -185,32 +238,49 @@ def main(argv=None) -> None:
             n = int(valid[i].sum())
             b = scale_boxes_back(boxes[i, :n], pads[i], origs[i])
             c, s = cls[i, :n], conf[i, :n]
+            dec = decisions[i, :n] if decisions is not None else None
             labels = [names[j] if j < len(names) else f"cls{j}" for j in c]
             counts = {}
-            for lab in labels:
-                counts[lab] = counts.get(lab, 0) + 1
+            for k, lab in enumerate(labels):
+                key = lab if dec is None or dec[k] == 1 else f"OOD {lab}"
+                counts[key] = counts.get(key, 0) + 1
             desc = ", ".join(f"{v} {k}" for k, v in counts.items()) or "nothing"
             log.info("%s: %d boxes (%s) %.1f ms", p.name, n, desc, dt_ms)
             if not args.no_save:
-                from ..utils.visualization import draw_boxes
+                if dec is not None:
+                    from ..utils.visualization import plot_detections_with_ood
 
-                ann = draw_boxes(raw[i], b,
-                                 [f"{lab} {sc:.2f}" for lab, sc in zip(labels, s)],
-                                 [(0, 200, 0)] * n)
-                Image.fromarray(ann).save(save_dir / f"{p.stem}_pred.jpg")
+                    plot_detections_with_ood(
+                        raw[i], b, c, s, dec, names,
+                        out_path=str(save_dir / f"{p.stem}_pred.jpg"))
+                else:
+                    from ..utils.visualization import draw_boxes
+
+                    ann = draw_boxes(raw[i], b,
+                                     [f"{lab} {sc:.2f}"
+                                      for lab, sc in zip(labels, s)],
+                                     [(0, 200, 0)] * n)
+                    Image.fromarray(ann).save(save_dir / f"{p.stem}_pred.jpg")
             if args.save_txt:
                 h, w = origs[i]
                 lines = []
                 for j in range(n):
                     x1, y1, x2, y2 = b[j]
-                    lines.append(f"{int(c[j])} {(x1 + x2) / 2 / w:.6f} "
-                                 f"{(y1 + y2) / 2 / h:.6f} {(x2 - x1) / w:.6f} "
-                                 f"{(y2 - y1) / h:.6f} {s[j]:.6f}")
+                    line = (f"{int(c[j])} {(x1 + x2) / 2 / w:.6f} "
+                            f"{(y1 + y2) / 2 / h:.6f} {(x2 - x1) / w:.6f} "
+                            f"{(y2 - y1) / h:.6f} {s[j]:.6f}")
+                    if dec is not None:
+                        line += f" {int(dec[j])}"  # trailing 1=InD / 0=OoD
+                    lines.append(line)
                 (save_dir / f"{p.stem}.txt").write_text("\n".join(lines) + "\n")
             if args.save_json:
-                all_json += [{"image": str(p), "bbox": [float(v) for v in b[j]],
-                              "category": int(c[j]), "name": labels[j],
-                              "score": float(s[j])} for j in range(n)]
+                for j in range(n):
+                    rec = {"image": str(p), "bbox": [float(v) for v in b[j]],
+                           "category": int(c[j]), "name": labels[j],
+                           "score": float(s[j])}
+                    if dec is not None:
+                        rec["is_ood"] = bool(dec[j] == 0)
+                    all_json.append(rec)
     if args.save_json:
         (save_dir / "predictions.json").write_text(json.dumps(all_json, indent=1))
         log.info("wrote %d detections to %s", len(all_json),
