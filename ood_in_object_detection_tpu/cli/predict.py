@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "methods)")
     p.add_argument("--fusion_strategy", default="none",
                    choices=["and", "or", "score", "none"])
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each predict batch over all local devices"
+                        " (--batch_size must divide by the device count)")
     from ..utils.compile_cache import add_compile_cache_flag
 
     add_compile_cache_flag(p)
@@ -200,8 +203,19 @@ def main(argv=None) -> None:
     names = load_class_names(args, nc)
     ood_method = load_ood_method(args)
     neck_ch = detector.neck_channels() if ood_method is not None else None
-    step = detector.predict_fn(conf_thres=args.conf, iou_thres=args.iou,
-                               max_det=args.max_det)
+    mesh = None
+    if args.data_parallel:
+        from ..parallel import make_multislice_mesh
+
+        mesh = make_multislice_mesh(model=1)
+        n = mesh.devices.size
+        assert args.batch_size % n == 0, \
+            f"--batch_size {args.batch_size} must divide over {n} devices"
+        log.info("data-parallel predict over mesh %s", dict(mesh.shape))
+    from ..ood.pipeline import _predict_step
+
+    step = _predict_step(detector, args.conf, mesh,
+                         iou_thres=args.iou, max_det=args.max_det)
     save_dir = Path(args.save_dir)
     if not args.no_save or args.save_txt or args.save_json:
         save_dir.mkdir(parents=True, exist_ok=True)
@@ -221,7 +235,7 @@ def main(argv=None) -> None:
         batch = np.zeros((bs, args.img_size, args.img_size, 3), np.uint8)
         batch[: len(group)] = np.stack(imgs)
         t0 = time.perf_counter()
-        out = step(detector.variables, batch)
+        out = step(batch)
         decisions = None  # reference convention: 1 = InD, 0 = OoD
         if ood_method is not None:
             from ..ood.pipeline import _decisions_for_method

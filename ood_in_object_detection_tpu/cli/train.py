@@ -33,7 +33,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--img_size", type=int, default=640)
     p.add_argument("--lr0", type=float, default=0.01)
+    p.add_argument("--lrf", type=float, default=0.01,
+                   help="final LR = lr0 * lrf (reference custom_training.py"
+                        " lrf)")
+    p.add_argument("--cos_lr", action="store_true",
+                   help="cosine per-epoch LR instead of the linear staircase"
+                        " (reference cos_lr)")
     p.add_argument("--val_every", type=int, default=10)
+    p.add_argument("--do_not_val_during_training", action="store_true",
+                   help="skip mid-training validation entirely (reference"
+                        " custom_training.py flag); checkpoints still save"
+                        " on the val_every cadence")
+    p.add_argument("--workers", type=int, default=4,
+                   help="decode threads for the batcher (reference workers)")
     p.add_argument("--freeze_backbone", action="store_true")
     p.add_argument("--name", default="run")
     p.add_argument("--out_dir", default="runs")
@@ -95,7 +107,8 @@ def main(argv=None) -> None:
                         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
 
     if args.no_augment:
-        batcher = PaddedBatcher(ds, args.batch_size, args.img_size, max_gt=args.max_gt)
+        batcher = PaddedBatcher(ds, args.batch_size, args.img_size,
+                                max_gt=args.max_gt, workers=args.workers)
     else:
         from ..data.augment import AugmentConfig, AugmentedTrainBatcher
 
@@ -111,7 +124,8 @@ def main(argv=None) -> None:
         from ..train.trainer import backbone_freeze_prefixes
 
         freeze = backbone_freeze_prefixes(model.spec)
-    cfg = TrainConfig(lr0=args.lr0, epochs=args.epochs, steps_per_epoch=steps_per_epoch,
+    cfg = TrainConfig(lr0=args.lr0, lrf=args.lrf, cos_lr=args.cos_lr,
+                      epochs=args.epochs, steps_per_epoch=steps_per_epoch,
                       freeze_prefixes=freeze)
 
     # validation split (reference validates every val_every epochs,
@@ -217,7 +231,8 @@ def main(argv=None) -> None:
                 log.info("epoch %d: loss=%.4f (%.1fs)", epoch, mean["total"], dt)
                 map50 = map5095 = float("nan")
                 if (epoch + 1) % max(args.val_every, 1) == 0 or epoch == args.epochs - 1:
-                    if val_ds is not None and len(val_ds):
+                    if (val_ds is not None and len(val_ds)
+                            and not args.do_not_val_during_training):
                         metrics = validate(model, state, val_ds, args, nc)
                         map50, map5095 = metrics["mAP50"], metrics["mAP50_95"]
                         log.info("epoch %d val: mAP50=%.4f mAP50-95=%.4f", epoch,
@@ -260,7 +275,8 @@ def validate(model, state, val_ds, args, nc):
     step = det.predict_fn(conf_thres=0.001)
     preds, targets = [], []
     for batch in PaddedBatcher(val_ds, args.batch_size, args.img_size,
-                               max_gt=args.max_gt):
+                               max_gt=args.max_gt,
+                               workers=getattr(args, "workers", 4)):
         out = step(variables, batch["images"])
         import numpy as np
 

@@ -44,17 +44,18 @@ def _np(x):
     return np.asarray(x)
 
 
-def _predict_step(detector: Detector, conf_thres: float, mesh=None):
+def _predict_step(detector: Detector, conf_thres: float, mesh=None, **kw):
     """``images -> PredictOutput`` closure. With a ``mesh``, every batch is
     DP-sharded via ``Detector.predict_sharded`` (weights replicated once,
     batch over the ("dcn","data") axes) — the reference parallelizes its eval
     sweeps by launching one process per GPU (replicate/benchmarks_v8.sh);
-    here ONE process drives all chips with the same SPMD executable."""
+    here ONE process drives all chips with the same SPMD executable.
+    Extra ``kw`` (iou_thres, max_det, pre_nms_k) reach the jitted step."""
     if mesh is None:
-        fn = detector.predict_fn(conf_thres=conf_thres)
+        fn = detector.predict_fn(conf_thres=conf_thres, **kw)
         return lambda images: fn(detector.variables, images)
     return lambda images: detector.predict_sharded(images, mesh,
-                                                   conf_thres=conf_thres)
+                                                   conf_thres=conf_thres, **kw)
 
 
 def _leaf_methods(method) -> List[object]:

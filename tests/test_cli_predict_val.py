@@ -156,3 +156,23 @@ def test_predict_cli_ood_requires_thresholds(img_dir, tiny_ckpt, tmp_path):
             "--img_size", "64", "--save_dir", str(tmp_path),
             "--ood_method", "MSP",
         ])
+
+
+def test_predict_cli_data_parallel(img_dir, tiny_ckpt, tmp_path):
+    """--data_parallel predict over the 8-device CPU mesh produces the same
+    detections as the single-device run."""
+    from ood_in_object_detection_tpu.cli import predict as predict_cli
+
+    out1, out8 = tmp_path / "p1", tmp_path / "p8"
+    base = ["--source", str(img_dir), "--model_path", tiny_ckpt,
+            "--img_size", "64", "--conf", "1e-9", "--save_json", "--no_save"]
+    predict_cli.main(base + ["--batch_size", "2", "--save_dir", str(out1)])
+    predict_cli.main(base + ["--batch_size", "8", "--save_dir", str(out8),
+                             "--data_parallel"])
+    d1 = json.loads((out1 / "predictions.json").read_text())
+    d8 = json.loads((out8 / "predictions.json").read_text())
+    assert len(d1) == len(d8)
+    for a, b in zip(d1, d8):
+        assert a["category"] == b["category"] and a["image"] == b["image"]
+        np.testing.assert_allclose(a["bbox"], b["bbox"], rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(a["score"], b["score"], rtol=1e-4, atol=1e-5)

@@ -164,3 +164,40 @@ def test_cli_parsers_reject_bad_values(tiny_yaml):
                                    "--ind_dataset", "x", "--ood_datasets", "y"])
     with pytest.raises(SystemExit):
         build_parser().parse_args([])  # required args missing
+
+
+def test_train_reference_flag_parity():
+    """Every field of the reference custom_training.py Tap parser (:13-77)
+    must exist in our train parser, under a documented mapping, or in the
+    documented-N/A set."""
+    import re
+    from pathlib import Path
+
+    from ood_in_object_detection_tpu.cli.train import build_parser
+
+    src = Path("/root/reference/custom_training.py")
+    if not src.exists():
+        pytest.skip("/root/reference not present")
+    body = src.read_text().split("class SimpleArgumentParser", 1)[1] \
+                          .split("def configure", 1)[0]
+    ref_fields = re.findall(r"^    (\w+):", body, re.M)
+    assert len(ref_fields) >= 15
+    ours = {a.dest for a in build_parser()._actions}
+    renamed = {"model": "model_version", "model_size": "model", "lr": "lr0",
+               "imagenet_pretrained_backbone": "pretrained_backbone"}
+    not_applicable = {
+        # device placement is automatic on TPU: the train step shards over
+        # every local chip via the ("dcn","data") mesh (parallel/mesh.py)
+        "devices",
+        # the named ultralytics cfg preset; every knob it carries is an
+        # explicit flag here (core/config.py holds the rest)
+        "config",
+        # from-scratch IS the default here (no COCO-pretrained .pt is
+        # reachable); --model_path/--resume/--pretrained_backbone cover
+        # every starting-point variant
+        "from_scratch",
+    }
+    missing = [f for f in ref_fields
+               if f not in ours and renamed.get(f) not in ours
+               and f not in not_applicable]
+    assert not missing, f"reference train flags absent: {missing}"

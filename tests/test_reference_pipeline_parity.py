@@ -312,16 +312,18 @@ def test_distance_decision_order_quirk(ref):
 # non_max_suppression_old with carried extras (utils/ops.py:348-533)
 # ---------------------------------------------------------------------------
 
-def test_nms_parity(ref):
+@pytest.mark.parametrize("seed", [5, 101, 202, 303])
+def test_nms_parity(ref, seed):
     """The reference's full NMS postprocess (conf gate, best-class select,
     class-offset torchvision NMS, max_det cut, extras carried by the same
-    keep-set) vs our fixed-shape batched_nms on identical predictions."""
+    keep-set) vs our fixed-shape batched_nms on identical predictions;
+    seed-fuzzed (same shapes, one compile)."""
     import torch
 
     from ood_in_object_detection_tpu.ops import batched_nms
     from ultralytics.utils.ops import non_max_suppression_old
 
-    rng = np.random.default_rng(5)
+    rng = np.random.default_rng(seed)
     B, nc, A, E = 2, 6, 160, 10
     # clustered boxes so NMS genuinely suppresses; distinct confidences
     centers = rng.uniform(80, 560, (B, A, 2))
@@ -469,17 +471,18 @@ def _synthetic_owod_scenario(rng, n_img=12, n_known=3):
     return preds, targets
 
 
-def test_owod_protocol_parity(ref):
+@pytest.mark.parametrize("seed", [21, 91, 171])
+def test_owod_protocol_parity(ref, seed):
     """The reference's compute_metrics (RandBox-lineage VOC protocol, 700+
     lines) vs our 300-line rewrite on an identical synthetic scenario:
-    mAP, U-AP/U-F1/U-PRE/U-REC, A-OSE and WI must agree."""
+    mAP, U-AP/U-F1/U-PRE/U-REC, A-OSE and WI must agree (seed-fuzzed)."""
     import torch
 
     from datasets_utils.owod import owod_evaluation_protocol as ref_proto
 
     from ood_in_object_detection_tpu.eval.owod_protocol import compute_metrics
 
-    rng = np.random.default_rng(21)
+    rng = np.random.default_rng(seed)
     preds, targets = _synthetic_owod_scenario(rng)
     class_names = ["aeroplane", "bicycle", "bird", "unknown"]
     known = [0, 1, 2]
