@@ -106,6 +106,13 @@ def build_parser() -> argparse.ArgumentParser:
                         " The reference fans its eval sweeps out as one"
                         " process per GPU (replicate/benchmarks_v8.sh); here"
                         " one process drives the whole mesh")
+    p.add_argument("--export_bundle", default="",
+                   help="after fitting, write a standalone serving bundle"
+                        " (jax.export model + pickled fitted method) to this"
+                        " directory — deployable with zero model code"
+                        " (utils/export.py load_serving_bundle)")
+    p.add_argument("--export_bundle_batch", type=int, default=1,
+                   help="compiled batch size of the bundled executable")
     from ..utils.compile_cache import add_compile_cache_flag
 
     add_compile_cache_flag(p)
@@ -289,6 +296,13 @@ def main(argv=None) -> None:
         return
 
     configure_ind(args, detector, method, ind_batches, logger)
+    if args.export_bundle:
+        from ..utils.export import export_serving_bundle
+
+        export_serving_bundle(detector, method, args.export_bundle,
+                              batch=args.export_bundle_batch,
+                              conf_thres=args.conf_thr_test)
+        logger.info("serving bundle written to %s", args.export_bundle)
     if args.dump_fusion_scores:
         from ..ood.methods import FusionOODMethod
         from ..ood.pipeline import collect_fusion_member_indness

@@ -108,6 +108,17 @@ class LogitsOODMethod:
         else:
             self._score = lambda lg, cls: raw(jax.nn.sigmoid(lg), cls)
 
+    def __getstate__(self):
+        # the score closure is derived state and (in the post-sigmoid
+        # variant) unpicklable; rebuilt from name/temper on load
+        d = dict(self.__dict__)
+        d.pop("_score", None)
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self.__post_init__()
+
     # -- extraction / fitting (host side, offline) --
     def scores_from_logits(self, logits: np.ndarray, cls: np.ndarray) -> np.ndarray:
         """(N, nc), (N,) -> (N,) scores (vectorized reference compute_scores)."""
@@ -207,6 +218,14 @@ class DistanceOODMethod:
     max_dist: Optional[np.ndarray] = None
     _bank: Optional[CentroidBank] = None
     transform_fn: Optional[Callable] = None  # (acts(N,*), cls, stride)->(N,D)
+
+    def __getstate__(self):
+        # the centroid bank holds device arrays; rebuilt lazily from the
+        # (host) clusters on first use after unpickling. transform_fn (SDR)
+        # is a fitted closure — methods carrying one don't pickle, by design.
+        d = dict(self.__dict__)
+        d["_bank"] = None
+        return d
 
     @staticmethod
     def from_name(name: str, cluster_method: str = "one", **kw) -> "DistanceOODMethod":

@@ -40,12 +40,13 @@ def _register_output_types():
             pass  # already registered
 
 
-def export_serialized(detector, out_path: str, batch: int = 1) -> Path:
+def export_serialized(detector, out_path: str, batch: int = 1,
+                      conf_thres: float = 0.25) -> Path:
     """jax.export round-trippable artifact (weights captured as constants)."""
     from jax import export as jexport
 
     _register_output_types()
-    step = detector.predict_fn()
+    step = detector.predict_fn(conf_thres=conf_thres)
     fn = lambda images: step(detector.variables, images)
     spec = jax.ShapeDtypeStruct(
         (batch, detector.img_size, detector.img_size, 3), jnp.float32)
@@ -55,3 +56,64 @@ def export_serialized(detector, out_path: str, batch: int = 1) -> Path:
     p.parent.mkdir(parents=True, exist_ok=True)
     p.write_bytes(data)
     return p
+
+
+def export_serving_bundle(detector, method, out_dir: str,
+                          batch: int = 1, conf_thres: float = 0.25) -> Path:
+    """One deployable directory: the jax.export-serialized predict step
+    (weights captured as constants) + the FITTED OoD method (pickled with
+    thresholds/clusters) + metadata — a serving process needs NO model code,
+    weights file, or calibration data to produce detections with per-box
+    InD/OoD verdicts (`load_serving_bundle`).
+
+    The reference's deployment story is a .pt checkpoint + the storage/ pkl
+    caches + re-running ood_evaluation.py to rebuild the method; this folds
+    that into a single artifact. SDR methods (fitted transform closures)
+    are not picklable and are rejected with a clear error.
+    """
+    import json
+    import pickle
+
+    p = Path(out_dir)
+    p.mkdir(parents=True, exist_ok=True)
+    export_serialized(detector, p / "model.jaxexport", batch=batch,
+                      conf_thres=conf_thres)
+    if method is not None:
+        try:
+            (p / "ood_method.pkl").write_bytes(pickle.dumps(method))
+        except (AttributeError, TypeError) as e:
+            raise ValueError(
+                "this method cannot be bundled (fitted SDR transform "
+                f"closures are process-local): {e}") from e
+    (p / "bundle.json").write_text(json.dumps({
+        "img_size": detector.img_size,
+        "batch": batch,
+        "nc": detector.nc,
+        "conf_thres": conf_thres,
+        "neck_channels": [int(c) for c in detector.neck_channels()],
+    }))
+    return p
+
+
+def load_serving_bundle(path: str):
+    """-> (predict_fn(images) -> PredictOutput, fitted method or None, meta).
+
+    Round-trips `export_serving_bundle` with zero model code: the exported
+    call is deserialized (PredictOutput/Detections namedtuples re-registered)
+    and the method unpickled; per-box verdicts come from
+    ``ood.pipeline._decisions_for_method(method, out, meta['neck_channels'])``.
+    """
+    import json
+    import pickle
+
+    from jax import export as jexport
+
+    _register_output_types()
+    p = Path(path)
+    exported = jexport.deserialize((p / "model.jaxexport").read_bytes())
+    meta = json.loads((p / "bundle.json").read_text())
+    meta["neck_channels"] = tuple(meta["neck_channels"])
+    method = None
+    if (p / "ood_method.pkl").exists():
+        method = pickle.loads((p / "ood_method.pkl").read_bytes())
+    return exported.call, method, meta

@@ -89,3 +89,59 @@ def test_export_serialized_roundtrip(tmp_path, small_detector):
     out = exported.call(imgs)
     jax.block_until_ready(out)
     assert out.det.boxes.shape[0] == 1 and out.roi_feats.ndim == 3
+
+
+def test_serving_bundle_roundtrip(tmp_path, small_detector):
+    """export_serving_bundle -> load_serving_bundle: the deserialized call
+    (no model code/weights) + unpickled fitted fusion method reproduce the
+    live detector's detections AND per-box OoD verdicts."""
+    import numpy as np
+
+    from ood_in_object_detection_tpu.ood.methods import (
+        DistanceOODMethod, FusionOODMethod, LogitsOODMethod,
+    )
+    from ood_in_object_detection_tpu.ood.pipeline import _decisions_for_method
+    from ood_in_object_detection_tpu.utils.export import (
+        export_serving_bundle, load_serving_bundle,
+    )
+
+    det = small_detector
+    rng = np.random.default_rng(0)
+    msp = LogitsOODMethod("MSP")
+    msp.generate_thresholds([rng.uniform(0.3, 1.0, 40) for _ in range(2)], 0.95)
+    dist = DistanceOODMethod.from_name("L2_cl_stride")
+    ch = det.neck_channels()
+    dist.clusters = [[rng.normal(0, 1, (2, ch[s])).astype(np.float32)
+                      for s in range(3)] for _ in range(2)]
+    dist.thresholds = [[0.5, 0.5, 0.5], [0.5, 0.5, 0.5]]
+    fusion = FusionOODMethod([msp, dist], strategy="or")
+
+    p = export_serving_bundle(det, fusion, tmp_path / "bundle", batch=2,
+                              conf_thres=1e-6)
+    call, m2, meta = load_serving_bundle(p)
+    assert meta["neck_channels"] == tuple(int(c) for c in ch)
+
+    imgs = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    out_b = call(imgs)
+    out_live = det.predict(imgs, conf_thres=1e-6)
+    assert int(np.asarray(out_live.det.valid).sum()) > 0
+    np.testing.assert_allclose(np.asarray(out_b.det.boxes),
+                               np.asarray(out_live.det.boxes),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_b.det.valid),
+                                  np.asarray(out_live.det.valid))
+    dec_b = np.asarray(_decisions_for_method(m2, out_b, meta["neck_channels"]))
+    dec_live = np.asarray(_decisions_for_method(fusion, out_live, ch))
+    np.testing.assert_array_equal(dec_b, dec_live)
+    # the bundled distance leaf rebuilt its device bank from host clusters
+    assert any(d == 0 for d in dec_live[np.asarray(out_live.det.valid)])
+
+
+def test_serving_bundle_rejects_sdr_closures(tmp_path, small_detector):
+    from ood_in_object_detection_tpu.ood.methods import DistanceOODMethod
+    from ood_in_object_detection_tpu.utils.export import export_serving_bundle
+
+    m = DistanceOODMethod.from_name("L2_cl_stride")
+    m.transform_fn = lambda a, c, s: a  # stand-in for a fitted SDR closure
+    with pytest.raises(ValueError, match="bundle"):
+        export_serving_bundle(small_detector, m, tmp_path / "b2")
