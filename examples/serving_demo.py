@@ -10,6 +10,10 @@ model.predict.
 Usage:
   python examples/serving_demo.py [--model yolov8n] [--img 640]
       [--batch 16] [--wait_ms 2.0] [--clients 8] [--requests 64]
+  python examples/serving_demo.py --bundle /path/to/bundle
+      # zero-model-code mode: serve a `ood_eval --export_bundle` directory
+      # (jax.export executable + pickled fitted OoD method); results then
+      # carry per-box is_ood verdicts
 
 Prints per-request latency percentiles and aggregate throughput.
 
@@ -42,12 +46,27 @@ def main(argv=None):
     ap.add_argument("--wait_ms", type=float, default=2.0)
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--requests", type=int, default=64)
+    ap.add_argument("--bundle", default="",
+                    help="serve a serving-bundle directory instead of a"
+                         " fresh-init model (zero model code)")
     args = ap.parse_args(argv)
 
-    from ood_in_object_detection_tpu.engine import Detector
     from ood_in_object_detection_tpu.serving import MicroBatchServer
 
-    det = Detector.create(args.model, nc=20, img_size=args.img)
+    if args.bundle:
+        import json
+
+        srv_factory = lambda: MicroBatchServer.from_bundle(
+            args.bundle, max_wait_ms=args.wait_ms)
+        meta = json.loads(
+            open(os.path.join(args.bundle, "bundle.json")).read())
+        args.img, args.batch = int(meta["img_size"]), int(meta["batch"])
+    else:
+        from ood_in_object_detection_tpu.engine import Detector
+
+        det = Detector.create(args.model, nc=20, img_size=args.img)
+        srv_factory = lambda: MicroBatchServer(
+            det, batch_size=args.batch, max_wait_ms=args.wait_ms)
     rng = np.random.default_rng(0)
     # uint8 request payloads: the serving dtype (4x less wire than f32; the
     # engine normalizes on device)
@@ -65,8 +84,7 @@ def main(argv=None):
                 lat.append(dt)
             assert res["boxes"].shape[1] == 4
 
-    with MicroBatchServer(det, batch_size=args.batch,
-                          max_wait_ms=args.wait_ms) as srv:
+    with srv_factory() as srv:
         chunks = np.array_split(np.arange(args.requests), args.clients)
         threads = [threading.Thread(target=client, args=(c,)) for c in chunks]
         t0 = time.perf_counter()

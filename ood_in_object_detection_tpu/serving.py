@@ -42,6 +42,39 @@ class _Request:
     future: "Future[Any]"
 
 
+class _BundleModel:
+    """Detector-shaped shim over a deserialized serving bundle
+    (``utils.export.load_serving_bundle``): exposes the ``img_size`` /
+    ``neck_channels()`` / ``predict()`` surface MicroBatchServer drives,
+    backed by the jax.export executable (weights captured as constants —
+    the serving process needs no model code or checkpoint)."""
+
+    def __init__(self, call, meta: dict):
+        import jax
+
+        self._meta = meta
+        self.img_size = int(meta["img_size"])
+        self.nc = int(meta["nc"])
+        # The export is traced with an f32 [0,1] input spec, so the engine's
+        # on-device u8 branch is baked out — normalization is re-fused
+        # around the exported call under one jit (one dispatch per group;
+        # eager astype+mul would each pay a tunnel round-trip).
+        self._call_f32 = jax.jit(call)
+        self._call_u8 = jax.jit(
+            lambda x: call(x.astype(jnp.float32) * (1.0 / 255.0)))
+
+    def neck_channels(self):
+        return tuple(self._meta["neck_channels"])
+
+    def predict(self, images, conf_thres: float = 0.25,
+                pre_nms_k: int = 1024):
+        # conf/iou/k are baked into the exported executable at bundle time
+        # (bundle.json records them); args accepted for API parity only.
+        if images.dtype == jnp.uint8:
+            return self._call_u8(images)
+        return self._call_f32(images)
+
+
 @dataclass
 class MicroBatchServer:
     """Coalesce concurrent single-image predict requests into fixed-batch
@@ -61,6 +94,29 @@ class MicroBatchServer:
     _q: "queue.Queue[Optional[_Request]]" = field(default_factory=queue.Queue)
     _thread: Optional[threading.Thread] = None
 
+    @classmethod
+    def from_bundle(cls, path, **kw) -> "MicroBatchServer":
+        """Zero-model-code server: load a ``utils.export.export_serving_bundle``
+        directory and serve it. Batch size, conf threshold, and the fitted
+        OoD method all come from the bundle; pass max_wait_ms etc. via kw.
+        The reference's deployment story needs the repo + .pt + storage/
+        caches re-fit on startup; a bundle directory is the whole artifact.
+        """
+        from .utils.export import load_serving_bundle
+
+        if "mesh" in kw and kw["mesh"] is not None:
+            raise ValueError("bundles are single-executable artifacts; "
+                             "mesh serving needs a live Detector")
+        call, method, meta = load_serving_bundle(path)
+        if kw.get("batch_size", int(meta["batch"])) != int(meta["batch"]):
+            raise ValueError(
+                f"bundle was exported at batch={meta['batch']}; the exported "
+                "executable is fixed-shape — re-export for another batch")
+        kw.setdefault("batch_size", int(meta["batch"]))
+        kw.setdefault("conf_thres", float(meta["conf_thres"]))
+        kw.setdefault("ood_method", method)
+        return cls(detector=_BundleModel(call, meta), **kw)
+
     def start(self) -> "MicroBatchServer":
         # compile the fixed-batch step up front so the first request does
         # not pay the trace+compile latency. uint8 is the serving-path
@@ -70,7 +126,9 @@ class MicroBatchServer:
         warm = jnp.zeros(
             (self.batch_size, self.detector.img_size, self.detector.img_size, 3),
             jnp.uint8)
-        self._predict(warm)
+        import jax
+
+        jax.block_until_ready(self._predict(warm))  # compile BEFORE serving
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         return self
@@ -166,13 +224,15 @@ def _split_output(out, n: int, ood=None) -> List[dict]:
 
     ONE device_get for all tensors: the serving link can be a high-latency
     tunnel (~25 ms/round-trip in this environment), so per-array fetches
-    would dominate the group latency."""
+    would dominate the group latency. The padding rows are fetched too and
+    dropped on host: slicing `[:n]` on device would compile a fresh slice
+    executable per distinct group size n (seconds each through the tunnel),
+    and the padded (batch, max_det) tensors are small."""
     import jax
 
-    payload = (out.det.boxes[:n], out.det.conf[:n], out.det.cls[:n],
-               out.det.valid[:n], out.logits[:n]) + (
-                   (ood[:n],) if ood is not None else ())
-    fetched = jax.device_get(payload)
+    payload = (out.det.boxes, out.det.conf, out.det.cls,
+               out.det.valid, out.logits) + ((ood,) if ood is not None else ())
+    fetched = [np.asarray(a)[:n] for a in jax.device_get(payload)]
     boxes, conf, cls, valid, logits = fetched[:5]
     ood_np = fetched[5] if ood is not None else None
     results = []

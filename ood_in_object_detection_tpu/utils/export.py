@@ -41,16 +41,25 @@ def _register_output_types():
 
 
 def export_serialized(detector, out_path: str, batch: int = 1,
-                      conf_thres: float = 0.25) -> Path:
-    """jax.export round-trippable artifact (weights captured as constants)."""
+                      conf_thres: float = 0.25,
+                      platforms=("cpu", "tpu")) -> Path:
+    """jax.export round-trippable artifact (weights captured as constants).
+
+    Lowered for every platform in ``platforms`` (multi-platform StableHLO),
+    so a bundle exported on a CPU dev box serves on TPU and vice versa.
+    The RoI contraction is pinned to the XLA einsum path (use_pallas=False):
+    the Pallas kernel choice is a trace-time Python branch on the *exporting*
+    process's backend, which would bake the wrong path into the other
+    platform's lowering — and the einsum ties the kernel within ~2 %
+    (PERF.md)."""
     from jax import export as jexport
 
     _register_output_types()
-    step = detector.predict_fn(conf_thres=conf_thres)
+    step = detector.predict_fn(conf_thres=conf_thres, use_pallas=False)
     fn = lambda images: step(detector.variables, images)
     spec = jax.ShapeDtypeStruct(
         (batch, detector.img_size, detector.img_size, 3), jnp.float32)
-    exported = jexport.export(jax.jit(fn))(spec)
+    exported = jexport.export(jax.jit(fn), platforms=list(platforms))(spec)
     data = exported.serialize()
     p = Path(out_path)
     p.parent.mkdir(parents=True, exist_ok=True)
@@ -59,7 +68,8 @@ def export_serialized(detector, out_path: str, batch: int = 1,
 
 
 def export_serving_bundle(detector, method, out_dir: str,
-                          batch: int = 1, conf_thres: float = 0.25) -> Path:
+                          batch: int = 1, conf_thres: float = 0.25,
+                          platforms=("cpu", "tpu")) -> Path:
     """One deployable directory: the jax.export-serialized predict step
     (weights captured as constants) + the FITTED OoD method (pickled with
     thresholds/clusters) + metadata — a serving process needs NO model code,
@@ -77,7 +87,7 @@ def export_serving_bundle(detector, method, out_dir: str,
     p = Path(out_dir)
     p.mkdir(parents=True, exist_ok=True)
     export_serialized(detector, p / "model.jaxexport", batch=batch,
-                      conf_thres=conf_thres)
+                      conf_thres=conf_thres, platforms=platforms)
     if method is not None:
         try:
             (p / "ood_method.pkl").write_bytes(pickle.dumps(method))
@@ -90,6 +100,7 @@ def export_serving_bundle(detector, method, out_dir: str,
         "batch": batch,
         "nc": detector.nc,
         "conf_thres": conf_thres,
+        "platforms": list(platforms),
         "neck_channels": [int(c) for c in detector.neck_channels()],
     }))
     return p

@@ -76,6 +76,41 @@ def test_serving_with_fitted_ood_method(det):
     assert res["is_ood"].dtype == bool and len(res["is_ood"]) == res["num_valid"]
 
 
+def test_serving_from_bundle_zero_model_code(det, tmp_path):
+    """MicroBatchServer.from_bundle serves an export_serving_bundle dir:
+    same detections as the live detector, per-box is_ood from the bundled
+    fitted method, batch/conf/method all sourced from bundle.json."""
+    from ood_in_object_detection_tpu.ood.methods import LogitsOODMethod
+    from ood_in_object_detection_tpu.utils.export import export_serving_bundle
+
+    rng = np.random.default_rng(3)
+    method = LogitsOODMethod(name="MSP")
+    method.generate_thresholds(
+        [rng.uniform(0.2, 1.0, 50).astype(np.float32)
+         for _ in range(det.nc)], tpr=0.95)
+    p = export_serving_bundle(det, method, tmp_path / "bundle", batch=2,
+                              conf_thres=1e-6)
+
+    imgs = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    direct = det.predict(jax.numpy.asarray(imgs), conf_thres=1e-6)
+    with MicroBatchServer.from_bundle(p, max_wait_ms=1.0) as srv:
+        assert srv.batch_size == 2 and srv.ood_method is not None
+        res = srv.predict_one(imgs[0])
+        # u8 submits hit the shim's host normalization (the exported step
+        # was traced at f32 [0,1])
+        res_u8 = srv.predict_one((imgs[0] * 255).round().astype(np.uint8))
+    valid0 = np.asarray(direct.det.valid[0])
+    assert res["num_valid"] == int(valid0.sum()) > 0
+    np.testing.assert_allclose(res["boxes"],
+                               np.asarray(direct.det.boxes)[0][valid0],
+                               rtol=1e-5, atol=1e-4)
+    assert "is_ood" in res and len(res["is_ood"]) == res["num_valid"]
+    assert res_u8["num_valid"] == res["num_valid"]
+
+    with pytest.raises(ValueError, match="fixed-shape"):
+        MicroBatchServer.from_bundle(p, batch_size=4)
+
+
 def test_serving_error_propagates_and_keeps_serving(det):
     with MicroBatchServer(det, batch_size=2, max_wait_ms=1.0,
                           conf_thres=1e-6, pre_nms_k=64) as srv:
