@@ -176,7 +176,7 @@ def configure_ind(args, detector, method, batches, logger) -> None:
         paths["activations"].write_bytes(pickle.dumps({k: v for k, v in acts.items()}))
     # re-key by position (pickle loses object ids across processes)
     from ..ood.methods import DistanceOODMethod
-    from ..ood.pipeline import _leaf_methods
+    from ..ood.pipeline import _leaf_methods, assign_fitted_state
 
     leaves = _leaf_methods(method)
     if set(acts.keys()) != {id(m) for m in leaves}:
@@ -186,11 +186,8 @@ def configure_ind(args, detector, method, batches, logger) -> None:
     # restore fitted centroids and skip the grid search
     clusters_loaded = False
     if args.load_clusters and paths["clusters"].exists():
-        stored = pickle.loads(paths["clusters"].read_bytes())
-        for m, cl in zip(leaves, stored):
-            if isinstance(m, DistanceOODMethod) and cl is not None:
-                m.clusters = cl
-                m._bank = None
+        assign_fitted_state(
+            method, clusters=pickle.loads(paths["clusters"].read_bytes()))
         clusters_loaded = True
         logger.info("loaded clusters from %s", paths["clusters"])
 
@@ -202,16 +199,26 @@ def configure_ind(args, detector, method, batches, logger) -> None:
 
     # cached thresholds override the refit values (reference load_thresholds)
     if args.load_thresholds and paths["thresholds"].exists():
-        stored = pickle.loads(paths["thresholds"].read_bytes())
-        for m, thr in zip(leaves, stored):
-            if thr is not None:
-                m.thresholds = thr
+        assign_fitted_state(
+            method, thresholds=pickle.loads(paths["thresholds"].read_bytes()))
         logger.info("loaded thresholds from %s", paths["thresholds"])
 
     paths["clusters"].write_bytes(pickle.dumps(
         [getattr(m, "clusters", None) for m in leaves]))
     paths["thresholds"].write_bytes(pickle.dumps(
         [m.thresholds for m in leaves]))
+    # fit-time method config sidecar: cli.predict reads this to rebuild the
+    # method EXACTLY as fitted (temperatures, sigmoid space, activation tap)
+    # instead of trusting its own flag defaults to match
+    import json
+
+    paths["thresholds"].with_suffix(".json").write_text(json.dumps({
+        k: getattr(args, k) for k in (
+            "ood_method", "cluster_method", "cluster_optimization_metric",
+            "fusion_strategy", "temperature_energy", "temperature_odin",
+            "use_values_before_sigmoid", "which_internal_activations",
+            "ind_info_creation_option", "tpr_thr", "conf_thr_train")
+        if hasattr(args, k)}))
 
 
 def run_eval(args, detector, method, logger) -> List[Dict]:

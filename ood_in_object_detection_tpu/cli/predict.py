@@ -71,6 +71,24 @@ def build_parser() -> argparse.ArgumentParser:
                         "methods)")
     p.add_argument("--fusion_strategy", default="none",
                    choices=["and", "or", "score", "none"])
+    # fit-time method config (must match the cli.ood_eval run that wrote the
+    # pkl artifacts; a *_thresholds.json sidecar written by that run — when
+    # present next to --ood_thresholds — overrides these automatically)
+    p.add_argument("--temperature_energy", type=float, default=1.0)
+    p.add_argument("--temperature_odin", type=float, default=1000.0)
+    p.add_argument("--use_values_before_sigmoid", action="store_true",
+                   default=True)
+    p.add_argument("--no_use_values_before_sigmoid",
+                   dest="use_values_before_sigmoid", action="store_false")
+    from .. import constants as C
+
+    p.add_argument("--which_internal_activations", default="roi_aligned_ftmaps",
+                   choices=C.INTERNAL_ACTIVATIONS_EXTRACTION_OPTIONS)
+    p.add_argument("--ind_info_creation_option",
+                   default="valid_preds_one_stride",
+                   choices=C.IND_INFO_CREATION_OPTIONS)
+    p.add_argument("--cluster_method", default="one")
+    p.add_argument("--cluster_optimization_metric", default="silhouette")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard each predict batch over all local devices"
                         " (--batch_size must divide by the device count)")
@@ -157,32 +175,71 @@ def build_detector(args):
 def load_ood_method(args):
     """Rebuild a FITTED OoD method from the pkl artifacts a cli.ood_eval run
     writes (configure_ind cache files): thresholds (+ clusters for distance
-    methods) are assigned per leaf in factory order."""
+    methods) are assigned per leaf in factory order. The fit-time config
+    sidecar (*_thresholds.json, written next to the pkl) is authoritative
+    for temperatures / sigmoid space / activation tap — fitted thresholds
+    are only valid on the score distribution they were fitted on."""
     if not args.ood_method:
         return None
     import pickle
 
+    from .. import constants as C
     from ..ood.methods import DistanceOODMethod
-    from ..ood.pipeline import _leaf_methods
+    from ..ood.pipeline import assign_fitted_state
     from .factory import build_ood_method
 
     assert args.ood_thresholds, "--ood_method needs --ood_thresholds"
-    method = build_ood_method(args.ood_method,
-                              fusion_strategy=args.fusion_strategy)
-    leaves = _leaf_methods(method)
+    cfg = dict(
+        ood_method=args.ood_method, cluster_method=args.cluster_method,
+        cluster_optimization_metric=args.cluster_optimization_metric,
+        fusion_strategy=args.fusion_strategy,
+        temperature_energy=args.temperature_energy,
+        temperature_odin=args.temperature_odin,
+        use_values_before_sigmoid=args.use_values_before_sigmoid,
+        which_internal_activations=args.which_internal_activations,
+        ind_info_creation_option=args.ind_info_creation_option)
+    sidecar = Path(args.ood_thresholds).with_suffix(".json")
+    if sidecar.exists():
+        stored = json.loads(sidecar.read_text())
+        if stored.get("ood_method", args.ood_method) != args.ood_method:
+            raise ValueError(
+                f"--ood_method {args.ood_method} but {sidecar} records the "
+                f"artifacts were fitted for {stored['ood_method']}")
+        drift = {k: (cfg[k], v) for k, v in stored.items()
+                 if k in cfg and cfg[k] != v}
+        cfg.update({k: v for k, v in stored.items() if k in cfg})
+        if drift:
+            log.info("fit-time config from %s overrides flags: %s",
+                     sidecar.name, drift)
+    else:
+        log.warning("no fit-config sidecar next to %s — trusting the CLI "
+                    "flags to match the fit-time method config",
+                    args.ood_thresholds)
+    method = build_ood_method(
+        cfg["ood_method"], cfg["cluster_method"],
+        cfg["cluster_optimization_metric"],
+        fusion_strategy=cfg["fusion_strategy"],
+        temperature_energy=cfg["temperature_energy"],
+        temperature_odin=cfg["temperature_odin"],
+        use_values_before_sigmoid=cfg["use_values_before_sigmoid"])
     thr = pickle.loads(Path(args.ood_thresholds).read_bytes())
-    assert len(thr) == len(leaves), \
-        f"{len(thr)} threshold entries for {len(leaves)} method leaves"
-    for m, t in zip(leaves, thr):
-        m.thresholds = t
-    if args.ood_clusters:
-        stored = pickle.loads(Path(args.ood_clusters).read_bytes())
-        for m, cl in zip(leaves, stored):
-            if isinstance(m, DistanceOODMethod) and cl is not None:
-                m.clusters = cl
-                m._bank = None
+    clusters = (pickle.loads(Path(args.ood_clusters).read_bytes())
+                if args.ood_clusters else None)
+    leaves = assign_fitted_state(method, thresholds=thr, clusters=clusters)
     for m in leaves:
         if isinstance(m, DistanceOODMethod):
+            if m.transform_fn is not None:
+                # SDR transforms are fitted process-local closures; the pkl
+                # artifacts carry clusters in the EMBEDDED space but not the
+                # embedder — raw-feature distances against them would be
+                # meaningless (same rejection as export_serving_bundle)
+                raise ValueError(
+                    f"{m.name} uses a fitted SDR embedding that cannot be "
+                    "restored from pkl artifacts; re-fit in-process via "
+                    "cli.ood_eval (or serve a non-SDR method)")
+            m.ind_info_creation_option = cfg["ind_info_creation_option"]
+            if cfg["which_internal_activations"] in C.FTMAPS_RELATED_OPTIONS:
+                m.which_internal_activations = cfg["which_internal_activations"]
             assert m.clusters, (f"distance method {m.name} needs "
                                 "--ood_clusters with fitted centroids")
     return method

@@ -117,7 +117,7 @@ def main(argv=None) -> None:
             cfg=AugmentConfig(close_mosaic=args.close_mosaic, mixup=args.mixup,
                               copy_paste=args.copy_paste, degrees=args.degrees,
                               shear=args.shear, perspective=args.perspective),
-            epochs=args.epochs)
+            epochs=args.epochs, workers=args.workers)
     steps_per_epoch = max(len(batcher), 1)
     freeze = ()
     if args.freeze_backbone:

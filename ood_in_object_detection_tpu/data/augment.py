@@ -344,7 +344,7 @@ class AugmentedTrainBatcher:
 
     def __init__(self, ds: DetectionDataset, batch_size: int, img_size: int,
                  max_gt: int = 128, cfg: Optional[AugmentConfig] = None,
-                 epochs: int = 100, seed: int = 0):
+                 epochs: int = 100, seed: int = 0, workers: int = 4):
         self.ds = ds
         self.bs = batch_size
         self.img_size = img_size
@@ -352,6 +352,7 @@ class AugmentedTrainBatcher:
         self.cfg = cfg or AugmentConfig()
         self.epochs = epochs
         self.epoch = 0
+        self.workers = max(1, workers)
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -367,13 +368,27 @@ class AugmentedTrainBatcher:
             gtb = np.zeros((B, self.max_gt, 4), np.float32)
             gtc = np.zeros((B, self.max_gt), np.int32)
             gtm = np.zeros((B, self.max_gt), bool)
-            for j in range(B):
+            # one spawned child stream per sample: thread-safe AND the
+            # augmentation draws are deterministic regardless of worker
+            # scheduling (a shared rng under a pool would be neither)
+            rngs = self._rng.spawn(B)
+
+            def fill(j):
                 img, boxes, cls = augmented_sample(
-                    self.ds, int(order[start + j]), S, self.cfg, self._rng, use_mosaic)
+                    self.ds, int(order[start + j]), S, self.cfg, rngs[j],
+                    use_mosaic)
                 images[j] = img.astype(np.float32) / 255.0
                 m = min(len(boxes), self.max_gt)
                 gtb[j, :m] = boxes[:m]
                 gtc[j, :m] = cls[:m].astype(np.int32)
                 gtm[j, :m] = True
+
+            if self.workers > 1 and B > 1:
+                from .dataset import _shared_pool
+
+                list(_shared_pool(self.workers).map(fill, range(B)))
+            else:
+                for j in range(B):
+                    fill(j)
             yield dict(images=images, gt_bboxes=gtb, gt_labels=gtc, gt_mask=gtm)
         self.epoch += 1

@@ -270,8 +270,6 @@ class DistanceOODMethod:
                         self.cluster_optimization_metric,
                         tag=f"{self.name}_cls{c}_stride{s}",
                     )
-                    from ..core.config import CUSTOM_HYP
-
                     cents = []
                     for lab in sorted(set(labels.tolist())):
                         if lab == -1 and CUSTOM_HYP.clusters.REMOVE_ORPHANS:

@@ -67,6 +67,29 @@ def _leaf_methods(method) -> List[object]:
     return [method]
 
 
+def assign_fitted_state(method, thresholds=None, clusters=None) -> List[object]:
+    """Restore pickled fit artifacts (the per-leaf lists configure_ind writes)
+    onto a freshly built method tree, in factory order. ``None`` entries keep
+    the leaf's current state; distance leaves get their lazy centroid bank
+    invalidated. Returns the leaf list. Shared by cli.ood_eval's load_*
+    cache branches and cli.predict's artifact reload."""
+    leaves = _leaf_methods(method)
+    if clusters is not None:
+        assert len(clusters) == len(leaves), \
+            f"{len(clusters)} cluster entries for {len(leaves)} method leaves"
+        for m, cl in zip(leaves, clusters):
+            if isinstance(m, DistanceOODMethod) and cl is not None:
+                m.clusters = cl
+                m._bank = None
+    if thresholds is not None:
+        assert len(thresholds) == len(leaves), \
+            f"{len(thresholds)} threshold entries for {len(leaves)} method leaves"
+        for m, t in zip(leaves, thresholds):
+            if t is not None:
+                m.thresholds = t
+    return leaves
+
+
 def extract_ind_activations(
     detector: Detector,
     batches,

@@ -71,8 +71,9 @@ def no_method_score(logits: jnp.ndarray, cls: jnp.ndarray) -> jnp.ndarray:
 def logits_score_fn(name: str, temper: float = 1.0):
     """Return score(logits, cls) for a logits-method name.
 
-    ``temper`` defaults per the reference CLI: Energy T=1 and ODIN T=1000
-    (ood_evaluation.py:70 and method factory ood_evaluation.py:179-289).
+    ``temper`` is applied as-is; the reference's per-method CLI defaults
+    (Energy T=1, ODIN T=1000 — ood_evaluation.py:70) live in the method
+    layer (LogitsOODMethod via cli/factory.py), not here.
     """
     if name == "MSP":
         return msp_score

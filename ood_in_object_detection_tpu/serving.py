@@ -93,6 +93,8 @@ class MicroBatchServer:
     ood_method: Any = None
     _q: "queue.Queue[Optional[_Request]]" = field(default_factory=queue.Queue)
     _thread: Optional[threading.Thread] = None
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+    _closed: bool = False
 
     @classmethod
     def from_bundle(cls, path, **kw) -> "MicroBatchServer":
@@ -112,6 +114,11 @@ class MicroBatchServer:
             raise ValueError(
                 f"bundle was exported at batch={meta['batch']}; the exported "
                 "executable is fixed-shape — re-export for another batch")
+        if abs(kw.get("conf_thres", float(meta["conf_thres"]))
+               - float(meta["conf_thres"])) > 1e-9:
+            raise ValueError(
+                f"bundle was exported at conf_thres={meta['conf_thres']}; the "
+                "threshold is baked into the executable — re-export to change")
         kw.setdefault("batch_size", int(meta["batch"]))
         kw.setdefault("conf_thres", float(meta["conf_thres"]))
         kw.setdefault("ood_method", method)
@@ -129,15 +136,31 @@ class MicroBatchServer:
         import jax
 
         jax.block_until_ready(self._predict(warm))  # compile BEFORE serving
+        self._closed = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         return self
 
     def stop(self) -> None:
-        if self._thread is not None:
+        with self._lock:
+            if self._thread is None:
+                return
+            # flag first so no submit can enqueue behind the sentinel —
+            # requests already queued before it are still served
+            self._closed = True
             self._q.put(None)
-            self._thread.join()
-            self._thread = None
+        self._thread.join()
+        self._thread = None
+        # fail anything that raced past _collect's sentinel (enqueued before
+        # _closed was visible) instead of leaving its future unresolved
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item.future.done():
+                item.future.set_exception(
+                    RuntimeError("MicroBatchServer stopped"))
 
     def __enter__(self) -> "MicroBatchServer":
         return self.start()
@@ -150,9 +173,11 @@ class MicroBatchServer:
     def submit(self, image: np.ndarray) -> "Future[Any]":
         """Enqueue one HWC image; the future resolves to that image's slice
         of the batched PredictOutput as a dict of numpy arrays."""
-        assert self._thread is not None, "server not started"
-        fut: "Future[Any]" = Future()
-        self._q.put(_Request(np.asarray(image), fut))
+        with self._lock:
+            if self._closed or self._thread is None:
+                raise RuntimeError("server not running")
+            fut: "Future[Any]" = Future()
+            self._q.put(_Request(np.asarray(image), fut))
         return fut
 
     def predict_one(self, image: np.ndarray) -> Any:
@@ -198,7 +223,15 @@ class MicroBatchServer:
             if group is None:
                 return
             try:
-                imgs = np.stack([r.image for r in group])
+                arrs = [r.image for r in group]
+                if len({a.dtype for a in arrs}) > 1:
+                    # mixed u8/f32 group: np.stack would promote u8 values
+                    # to float WITHOUT the /255 the engine's u8 branch does
+                    # — normalize on host so every image means the same thing
+                    arrs = [a.astype(np.float32) / 255.0
+                            if a.dtype == np.uint8 else
+                            np.asarray(a, np.float32) for a in arrs]
+                imgs = np.stack(arrs)
                 if len(group) < self.batch_size:  # pad to the compiled batch
                     pad = np.zeros((self.batch_size - len(group),) +
                                    imgs.shape[1:], imgs.dtype)

@@ -180,3 +180,15 @@ def test_augmented_sample_mixup_path(ds):
     img, boxes, cls = augmented_sample(ds, 0, 64, cfg, np.random.default_rng(5))
     assert img.shape == (64, 64, 3)
     assert len(boxes) == len(cls)
+
+
+def test_train_batcher_workers_deterministic(ds):
+    """Parallel decode (spawned per-sample rng streams) yields bit-identical
+    batches to the serial path at the same seed."""
+    kw = dict(batch_size=4, img_size=64, max_gt=16,
+              cfg=AugmentConfig(close_mosaic=0), epochs=2, seed=3)
+    b1 = AugmentedTrainBatcher(ds, workers=1, **kw)
+    b4 = AugmentedTrainBatcher(ds, workers=4, **kw)
+    for batch1, batch4 in zip(b1, b4):
+        for k in batch1:
+            np.testing.assert_array_equal(batch1[k], batch4[k])

@@ -176,3 +176,56 @@ def test_predict_cli_data_parallel(img_dir, tiny_ckpt, tmp_path):
         assert a["category"] == b["category"] and a["image"] == b["image"]
         np.testing.assert_allclose(a["bbox"], b["bbox"], rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(a["score"], b["score"], rtol=1e-4, atol=1e-5)
+
+
+def test_predict_load_ood_method_sidecar_config(tmp_path):
+    """The *_thresholds.json sidecar (written by cli.ood_eval configure_ind)
+    is authoritative: load_ood_method rebuilds the method with the FIT-time
+    temperatures/sigmoid space even when the predict flags say otherwise."""
+    import pickle
+
+    from ood_in_object_detection_tpu.cli import predict as predict_cli
+    from ood_in_object_detection_tpu.ood.methods import LogitsOODMethod
+
+    m = LogitsOODMethod("ODIN", temper=7.0, use_values_before_sigmoid=False)
+    rng = np.random.default_rng(0)
+    m.generate_thresholds([rng.uniform(0.2, 1.0, 40) for _ in range(2)], 0.95)
+    thr = tmp_path / "x_thresholds.pkl"
+    thr.write_bytes(pickle.dumps([m.thresholds]))
+    thr.with_suffix(".json").write_text(json.dumps({
+        "ood_method": "ODIN", "temperature_odin": 7.0,
+        "use_values_before_sigmoid": False}))
+
+    args = predict_cli.build_parser().parse_args(
+        ["--source", "x", "--ood_method", "ODIN",
+         "--ood_thresholds", str(thr)])  # flag defaults: T=1000, pre-sigmoid
+    loaded = predict_cli.load_ood_method(args)
+    assert loaded.temper == 7.0
+    assert loaded.use_values_before_sigmoid is False
+    assert loaded.thresholds == m.thresholds
+
+    # method-name mismatch vs the sidecar is an error, not a silent rebuild
+    args2 = predict_cli.build_parser().parse_args(
+        ["--source", "x", "--ood_method", "MSP",
+         "--ood_thresholds", str(thr)])
+    with pytest.raises(ValueError, match="fitted for ODIN"):
+        predict_cli.load_ood_method(args2)
+
+
+def test_predict_load_ood_method_rejects_sdr(tmp_path):
+    """SDR methods carry a process-local fitted embedder the pkl artifacts
+    cannot restore; predict must refuse (clusters live in the embedded
+    space — raw-feature distances against them would be meaningless)."""
+    import pickle
+
+    from ood_in_object_detection_tpu.cli import predict as predict_cli
+
+    thr = tmp_path / "s_thresholds.pkl"
+    thr.write_bytes(pickle.dumps([[[0.5] * 3] * 2]))
+    cl = tmp_path / "s_clusters.pkl"
+    cl.write_bytes(pickle.dumps([[[np.zeros((1, 3), np.float32)] * 3] * 2]))
+    args = predict_cli.build_parser().parse_args(
+        ["--source", "x", "--ood_method", "CosineIvis",
+         "--ood_thresholds", str(thr), "--ood_clusters", str(cl)])
+    with pytest.raises(ValueError, match="SDR"):
+        predict_cli.load_ood_method(args)

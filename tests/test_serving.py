@@ -121,3 +121,50 @@ def test_serving_error_propagates_and_keeps_serving(det):
             np.random.default_rng(1).uniform(0, 1, (64, 64, 3))
             .astype(np.float32))
         assert ok["num_valid"] >= 0
+
+
+def test_serving_mixed_dtype_group(det):
+    """A micro-batch mixing uint8 and float32 images must normalize the u8
+    ones (np.stack would silently promote 0-255 values into the f32 batch)."""
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    direct = det.predict(jax.numpy.asarray(f32[None].repeat(2, axis=0)),
+                         conf_thres=1e-6, pre_nms_k=64)
+    with MicroBatchServer(det, batch_size=2, max_wait_ms=200.0,
+                          conf_thres=1e-6, pre_nms_k=64) as srv:
+        futs = [None, None]
+
+        def put(i, img):
+            futs[i] = srv.submit(img)
+
+        threads = [threading.Thread(target=put, args=(0, u8)),
+                   threading.Thread(target=put, args=(1, f32))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        res_u8, res_f32 = [f.result(timeout=120) for f in futs]
+    d_valid = np.asarray(direct.det.valid)[0]
+    d_boxes = np.asarray(direct.det.boxes)[0][d_valid]
+    for res in (res_u8, res_f32):
+        assert res["num_valid"] == int(d_valid.sum())
+        np.testing.assert_allclose(res["boxes"], d_boxes, rtol=1e-5, atol=1e-4)
+
+
+def test_serving_submit_after_stop_raises(det):
+    srv = MicroBatchServer(det, batch_size=2, max_wait_ms=1.0,
+                           conf_thres=1e-6, pre_nms_k=64).start()
+    srv.stop()
+    with pytest.raises(RuntimeError, match="not running"):
+        srv.submit(np.zeros((64, 64, 3), np.float32))
+    srv.stop()  # idempotent
+
+
+def test_serving_from_bundle_conf_mismatch_raises(det, tmp_path):
+    from ood_in_object_detection_tpu.utils.export import export_serving_bundle
+
+    p = export_serving_bundle(det, None, tmp_path / "b", batch=1,
+                              conf_thres=0.25)
+    with pytest.raises(ValueError, match="conf_thres"):
+        MicroBatchServer.from_bundle(p, conf_thres=0.5)
