@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cos_lr", action="store_true",
                    help="cosine per-epoch LR instead of the linear staircase"
                         " (reference cos_lr)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the forward in the backward"
+                        " (jax.checkpoint over per-layer boundaries): ~1"
+                        " extra forward of FLOPs for much lower activation"
+                        " HBM — enables l/x-scale training at batch sizes"
+                        " that otherwise OOM a 16 GB chip")
     p.add_argument("--val_every", type=int, default=10)
     p.add_argument("--do_not_val_during_training", action="store_true",
                    help="skip mid-training validation entirely (reference"
@@ -126,7 +132,7 @@ def main(argv=None) -> None:
         freeze = backbone_freeze_prefixes(model.spec)
     cfg = TrainConfig(lr0=args.lr0, lrf=args.lrf, cos_lr=args.cos_lr,
                       epochs=args.epochs, steps_per_epoch=steps_per_epoch,
-                      freeze_prefixes=freeze)
+                      freeze_prefixes=freeze, remat=args.remat)
 
     # validation split (reference validates every val_every epochs,
     # engine/trainer.py:441-445)

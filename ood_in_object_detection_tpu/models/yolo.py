@@ -556,6 +556,17 @@ class YOLODetector(nn.Module):
                 x = jnp.concatenate(parts, axis=-1)
             else:
                 raise ValueError(f"unknown module {mod}")
+            if train:
+                # remat boundary tag: under trainer remat (TrainConfig.remat,
+                # jax.checkpoint policy save_only_these_names) only these
+                # per-layer outputs survive the forward; block-internal
+                # intermediates (C2f splits, BN/SiLU pre-activations, PSA
+                # attention) are recomputed in the backward. A no-op identity
+                # otherwise; tagged only in training so the inference/bench
+                # path is untouched.
+                from jax.ad_checkpoint import checkpoint_name
+
+                x = checkpoint_name(x, "layer_out")
             ys.append(x)
             if li == self.stop_after:
                 return x

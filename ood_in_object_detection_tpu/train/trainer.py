@@ -55,6 +55,12 @@ class TrainConfig:
     ema_decay: float = 0.9999
     ema_tau: float = 2000.0
     cos_lr: bool = False
+    # rematerialize the forward in the backward pass (jax.checkpoint with
+    # save_only_these_names over the per-layer boundary tags in
+    # models/yolo.py): trades ~1 extra forward of FLOPs for dropping every
+    # block-internal intermediate from HBM — the TPU lever for training
+    # l/x-scale models at batch sizes that otherwise exceed v5e's 16 GB
+    remat: bool = False
     # freeze layers whose top-level module name starts with any of these
     # (reference custom_training.py:145-157 freeze-backbone callback;
     # v8 backbone = spec layers 0..9 -> ("l0_", ..., "l9_"))
@@ -196,12 +202,19 @@ def train_step(model: YOLODetector, cfg: TrainConfig, state: TrainState, batch):
     tx = make_optimizer(cfg)
 
     def loss_fn(params):
-        out, mutated = model.apply(
-            {"params": params, "batch_stats": state.batch_stats},
-            batch["images"],
-            train=True,
-            mutable=["batch_stats"],
-        )
+        def fwd(params, images):
+            return model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+
+        if cfg.remat:
+            fwd = jax.checkpoint(
+                fwd, policy=jax.checkpoint_policies.save_only_these_names(
+                    "layer_out"))
+        out, mutated = fwd(params, batch["images"])
         gains = dict(box_gain=cfg.box_gain, cls_gain=cfg.cls_gain,
                      dfl_gain=cfg.dfl_gain)
         if getattr(model, "v10_dual", False) and len(out) == 3:

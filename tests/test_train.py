@@ -1,5 +1,7 @@
 """TAL assigner + detection loss semantics (reference utils/tal.py, utils/loss.py)."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -132,3 +134,33 @@ def test_training_overfits_tiny_batch():
     d = jax.tree.map(lambda e, p: float(jnp.abs(e - p).max()),
                      state.ema_params, state.params)
     assert max(jax.tree.leaves(d)) > 0
+
+
+def test_remat_train_step_matches_plain():
+    """TrainConfig.remat (jax.checkpoint over the per-layer boundary tags)
+    must change memory, not math: one step from identical state produces the
+    same loss and parameter updates as the plain step."""
+    from ood_in_object_detection_tpu.models import build_model
+    from ood_in_object_detection_tpu.train import TrainConfig, init_state, train_step
+
+    model = build_model("yolov8n", nc=2)
+    rng = jax.random.PRNGKey(1)
+    imgs = jax.random.uniform(rng, (2, 96, 96, 3))
+    batch = {
+        "images": imgs,
+        "gt_labels": jnp.asarray([[0, 1], [1, 0]], jnp.int32),
+        "gt_bboxes": jnp.asarray([[[10, 10, 50, 50], [60, 20, 90, 80]],
+                                  [[20, 30, 70, 90], [5, 5, 40, 40]]],
+                                 jnp.float32),
+        "gt_mask": jnp.ones((2, 2), bool),
+    }
+    cfg = TrainConfig(lr0=0.01, epochs=2, steps_per_epoch=1, warmup_epochs=0.1)
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    state0 = init_state(model, cfg, rng, imgs)
+    s1, lb1 = jax.jit(lambda s, b: train_step(model, cfg, s, b))(state0, batch)
+    s2, lb2 = jax.jit(lambda s, b: train_step(model, cfg_r, s, b))(state0, batch)
+    np.testing.assert_allclose(float(lb1.total), float(lb2.total),
+                               rtol=1e-6, atol=1e-7)
+    for (p1, p2) in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                                   rtol=1e-5, atol=1e-6)
