@@ -139,3 +139,31 @@ def test_freeze_prefixes_keep_params_bit_identical():
             moved_train.append(delta)
     assert max(moved_frozen) == 0.0, "frozen params changed"
     assert max(moved_train) > 0.0, "trainable params did not move"
+
+
+def test_sharded_step_with_remat_matches_unsharded():
+    """TrainConfig.remat must compose with the SPMD mesh: jax.checkpoint's
+    recompute region is partitioned like the forward, and the step computes
+    the same loss/updates as single-device non-remat jit."""
+    from ood_in_object_detection_tpu.train import train_step
+
+    model = build_model("yolov8n", nc=4)
+    cfg = TrainConfig(epochs=1, steps_per_epoch=2)
+    batch = _tiny_batch(8)
+    state = init_state(model, cfg, jax.random.PRNGKey(0), batch["images"])
+
+    ref_state, ref_lb = jax.jit(
+        lambda s, b: train_step(model, cfg, s, b))(state, batch)
+
+    import dataclasses
+
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    mesh = make_mesh(data=8, model=1)
+    with mesh:
+        sstate = shard_state(state, mesh)
+        placed = device_put_batch(batch, mesh)
+        new_state, lb = make_sharded_train_step(model, cfg_r, mesh)(sstate, placed)
+    np.testing.assert_allclose(float(lb.total), float(ref_lb.total), rtol=2e-4)
+    a = jax.tree.leaves(ref_state.params)[0]
+    b = jax.tree.leaves(new_state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
