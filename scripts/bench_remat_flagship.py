@@ -42,24 +42,23 @@ batch_d = {
     "gt_mask": jnp.ones((batch, M), bool).at[:, 4:].set(False),
 }
 
-def pipeline(state, b0, i):
-    b = dict(b0)
-    b["images"] = b0["images"] + i.astype(jnp.float32) * 1e-9
-    new_state, lb = train_step(model, cfg, state, b)
-    leaves = jax.tree_util.tree_leaves(new_state.params)
-    probe = sum(jnp.sum(l[..., :1].astype(jnp.float32)) for l in leaves[:8])
-    return lb.total.astype(jnp.float32) + probe * 1e-12
-
+# TrainState is the loop CARRY: every param/opt leaf feeds the next
+# iteration, so none of the backward can be dead-code-eliminated (the
+# earlier leaves[:8] probe let XLA drop the whole backbone backward).
 @jax.jit
-def loop(args, iters):
-    def body(i, acc):
-        return acc + pipeline(*args, i)
-    return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+def loop(state, b0, iters):
+    def body(i, st):
+        b = dict(b0)
+        b["images"] = b0["images"] + i.astype(jnp.float32) * 1e-9
+        st2, _ = train_step(model, cfg, st, b)
+        return st2
+    final = lax.fori_loop(0, iters, body, state)
+    return sum(jnp.sum(l.astype(jnp.float32))
+               for l in jax.tree_util.tree_leaves(final.params))
 
-args = (state, batch_d)
-_ = float(loop(args, 2))
+_ = float(loop(state, batch_d, 2))
 def timed(n):
-    t0 = time.perf_counter(); _ = float(loop(args, n))
+    t0 = time.perf_counter(); _ = float(loop(state, batch_d, n))
     return time.perf_counter() - t0
 dt = min(timed(ITERS) for _ in range(3))
 ov = min(timed(1) for _ in range(3))
