@@ -247,7 +247,8 @@ def bench_flagship():
                         (BATCH, 96, 32))
 
 
-def bench_train_step():
+def bench_train_step(name="yolov8n", metric="train_images_per_sec_yolov8n_640_bf16",
+                     batch_sizes=None, iters=LOOP_ITERS):
     """Training throughput: the full TAL+CIoU/DFL/BCE train step (fwd+bwd+
     SGD+EMA) on the bf16 AMP-equivalent path (--dtype bfloat16 of
     cli/train.py), reference engine/trainer.py loop.
@@ -262,12 +263,12 @@ def bench_train_step():
     from ood_in_object_detection_tpu.models import build_model
     from ood_in_object_detection_tpu.train import TrainConfig, init_state, train_step
 
-    model = build_model("yolov8n", nc=NC, dtype=jnp.bfloat16)
+    model = build_model(name, nc=NC, dtype=jnp.bfloat16)
     cfg = TrainConfig(epochs=10, steps_per_epoch=100)
     rng = jax.random.PRNGKey(0)
     m = 16
 
-    for batch_sz in (BATCH, max(BATCH // 4, 8)):
+    for batch_sz in (batch_sizes or (BATCH, max(BATCH // 4, 8))):
         try:
             images = jax.random.uniform(rng, (batch_sz, IMG, IMG, 3), jnp.float32)
             state = init_state(model, cfg, rng, images[:1])
@@ -291,14 +292,14 @@ def bench_train_step():
                            for l in jax.tree_util.tree_leaves(final.params))
 
             _ = float(loop(state, batch, 2))
-            dt = min(_timed(lambda a, n: loop(*a, n), (state, batch), LOOP_ITERS)
+            dt = min(_timed(lambda a, n: loop(*a, n), (state, batch), iters)
                      for _ in range(3))
             ov = min(_timed(lambda a, n: loop(*a, n), (state, batch), 1)
                      for _ in range(3))
-            ms = max(dt - max(ov - dt / LOOP_ITERS, 0.0), 1e-9) / LOOP_ITERS * 1000.0
+            ms = max(dt - max(ov - dt / iters, 0.0), 1e-9) / iters * 1000.0
             ips = batch_sz / ms * 1000.0
             print(json.dumps({
-                "metric": "train_images_per_sec_yolov8n_640_bf16",
+                "metric": metric,
                 "value": round(ips, 2),
                 "unit": "img/s",
                 "vs_baseline": round(ips / 250.0, 3),  # ~A100 v8n train img/s
@@ -311,6 +312,17 @@ def bench_train_step():
 
             print(f"train bench failed at batch {batch_sz}:", file=sys.stderr)
             traceback.print_exc()
+
+
+def bench_train_flagship():
+    """YOLOv8l training throughput (the model the paper trains,
+    replicate/train.sh). NOT in main(): the v8l train-step compile alone
+    exceeds 15 min through the tunnel, which would risk the driver's bench
+    window; the measured envelope lives in PERF.md ("Flagship training on
+    one 16 GB v5e": 227 img/s b16, compute-bound, remat = fit lever).
+    Run manually: python -c 'import bench; bench.bench_train_flagship()'."""
+    bench_train_step("yolov8l", "train_images_per_sec_yolov8l_flagship",
+                     batch_sizes=(32, 16), iters=8)
 
 
 def bench_latency_b1():
