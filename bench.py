@@ -101,7 +101,7 @@ def bench_distance_step():
     det = Detector.create("yolov8n", nc=NC, img_size=IMG, dtype=jnp.bfloat16)
     method = make_distance_method(256)
     thr = method.packed_thresholds()
-    step = det._jitted_step(iou_thres=0.45, max_det=300, pre_nms_k=PRE_NMS_K)
+    step = det._jitted_step(iou_thres=0.7, max_det=300, pre_nms_k=PRE_NMS_K)
 
     rng = jax.random.PRNGKey(0)
     images = jax.random.uniform(rng, (BATCH, IMG, IMG, 3), jnp.float32)
@@ -188,7 +188,7 @@ def _detect_score_pipeline(model):
         x = (images + i.astype(jnp.uint8)).astype(jnp.float32) * (1.0 / 255.0)
         raw_levels, _ = model.apply(variables, x, train=False)
         det, logits = fused_detect(raw_levels, NC, jnp.float32(0.25),
-                                   iou_thres=0.45, max_det=300,
+                                   iou_thres=0.7, max_det=300,
                                    pre_nms_k=PRE_NMS_K)
         scores = msp_score(logits, det.cls)
         ood = jnp.where(det.valid, (scores >= thresholds[det.cls]).astype(jnp.int32), 0)

@@ -39,7 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("ood_eval", description=__doc__)
     p.add_argument("--ood_method", required=True,
                    help="method name or fusion-M1-M2[-M3]")
-    p.add_argument("--model", default="l", choices=["n", "s", "m", "b", "l", "x", "t", "c"])
+    p.add_argument("--model", default="l",
+                   choices=["n", "s", "m", "b", "l", "x", "t", "c", "e"])
     p.add_argument("--model_version", default="yolov8",
                    choices=["yolov8", "yolov9", "yolov10", "yolo11", "yolo12"])
     p.add_argument("--model_path", default="", help="checkpoint dir (orbax)")

@@ -48,7 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--img_size", type=int, default=640)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--conf", type=float, default=0.25)
-    p.add_argument("--iou", type=float, default=0.45)
+    p.add_argument("--iou", type=float, default=0.7)  # ultralytics default.yaml:57
     p.add_argument("--max_det", type=int, default=300)
     p.add_argument("--save_dir", default="runs/predict")
     p.add_argument("--no_save", action="store_true",

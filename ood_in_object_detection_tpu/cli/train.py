@@ -20,9 +20,14 @@ log = logging.getLogger("train")
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("train")
-    p.add_argument("--model", default="l", choices=["n", "s", "m", "l", "x", "c"])
+    p.add_argument("--model", default="l",
+                   choices=["n", "s", "m", "b", "l", "x", "t", "c", "e"])
     p.add_argument("--model_version", default="yolov8",
-                   choices=["yolov8", "yolov9", "yolov10", "yolo11", "yolo12"])
+                   choices=["yolov8", "yolov9", "yolov10", "yolo11", "yolo12",
+                            # hub-pretrained families the reference offers via
+                            # .pt downloads (custom_training.py:16) — rejected
+                            # with an explicit message in main()
+                            "yolov5", "yolov6"])
     p.add_argument("--dataset", required=True, help="dataset yaml")
     p.add_argument("--owod_task", default="", choices=["", "t1", "t2", "t3", "t4"])
     p.add_argument("--owod_tasks_dir", default=str(
@@ -104,6 +109,12 @@ def main(argv=None) -> None:
     from ..train import TrainConfig, init_state, make_sharded_train_step, shard_state
     from ..core.checkpoint import save_checkpoint
 
+    if args.model_version in ("yolov5", "yolov6"):
+        raise SystemExit(
+            f"{args.model_version}: the reference trains these only from "
+            "hub-pretrained .pt downloads (custom_training.py:16,31); this "
+            "rebuild has no network access and no v5/v6 graph specs — "
+            "hub-pretrained models are unavailable (see PARITY.md N/A list).")
     ds = DetectionDataset.from_yaml(args.dataset, split="train",
                                     owod_task=args.owod_task or None,
                                     tasks_dir=args.owod_tasks_dir or None)

@@ -149,13 +149,20 @@ class Detector:
             roi, exact = roi_and_exact_batched(
                 neck_feats, det.boxes, det.anchor_idx, level,
                 img_w=img_size, samples=samples, use_pallas=use_pallas)
+            # final boxes are clipped to the image like the reference's
+            # Results (scale_boxes -> clip_boxes, utils/ops.py:96,536 — with
+            # tensor input gain=1/pad=0 so it is a pure clamp). Order matters:
+            # the reference RoI-aligns on the UNclipped NMS boxes
+            # (detect/predict.py:176-199 runs before construct), so the clamp
+            # happens after roi/exact extraction here too.
+            det = det._replace(boxes=jnp.clip(det.boxes, 0.0, float(img_size)))
             return PredictOutput(det, logits, level, det.anchor_idx, roi, exact,
                                  tuple(neck_feats))
 
         self._step_cache[key] = step
         return step
 
-    def predict_fn(self, conf_thres: float = 0.25, iou_thres: float = 0.45,
+    def predict_fn(self, conf_thres: float = 0.25, iou_thres: float = 0.7,
                    max_det: int = 300, pre_nms_k: int = 1024,
                    use_pallas: bool = True):
         """(variables, images) -> PredictOutput with conf baked as a traced

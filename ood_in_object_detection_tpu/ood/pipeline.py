@@ -50,7 +50,13 @@ def _predict_step(detector: Detector, conf_thres: float, mesh=None, **kw):
     batch over the ("dcn","data") axes) — the reference parallelizes its eval
     sweeps by launching one process per GPU (replicate/benchmarks_v8.sh);
     here ONE process drives all chips with the same SPMD executable.
-    Extra ``kw`` (iou_thres, max_det, pre_nms_k) reach the jitted step."""
+    Extra ``kw`` (iou_thres, max_det, pre_nms_k) reach the jitted step.
+
+    NMS IoU defaults to 0.7: the reference's pipeline calls model.predict
+    without an ``iou`` override, so it inherits the ultralytics default
+    (cfg/default.yaml:57) — NOT CUSTOM_HYP.IOU_THRESHOLD, which is the
+    pred-to-GT *matching* threshold (ood_utils.py:184)."""
+    kw.setdefault("iou_thres", 0.7)
     if mesh is None:
         fn = detector.predict_fn(conf_thres=conf_thres, **kw)
         return lambda images: fn(detector.variables, images)

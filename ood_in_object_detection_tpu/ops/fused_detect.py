@@ -88,7 +88,7 @@ def fused_detect(
     raw_levels: Sequence[jax.Array],
     nc: int,
     conf_thres,
-    iou_thres: float = 0.45,
+    iou_thres: float = 0.7,  # ultralytics predict default (cfg/default.yaml:57)
     max_det: int = 300,
     pre_nms_k: int = 512,
     class_agnostic: bool = False,

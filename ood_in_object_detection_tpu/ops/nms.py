@@ -188,7 +188,7 @@ def batched_nms(
     boxes_xywh: jnp.ndarray,
     cls_logits: jnp.ndarray,
     conf_thres: float = 0.25,
-    iou_thres: float = 0.45,
+    iou_thres: float = 0.7,  # ultralytics predict default (cfg/default.yaml:57)
     max_det: int = 300,
     pre_nms_k: int = 2048,
     class_agnostic: bool = False,

@@ -257,6 +257,98 @@ def install_full_shim():
     del hdb, sk, umap
 
 
+def install_cli_shim():
+    """install_full_shim + what `import ood_evaluation` additionally needs:
+    a `tap.Tap` stub (typed-argument-parser absent; only the class statement
+    `class SimpleArgumentParser(Tap)` must resolve — it is never instantiated
+    in cross-execution) and torchvision.ops.box_convert (used by
+    OODMethod.create_targets_dict, ood_utils.py:226)."""
+    install_full_shim()
+    if "tap" not in sys.modules:
+        tap = types.ModuleType("tap")
+
+        class Tap:  # noqa: D401 - import-time base class only
+            pass
+
+        tap.Tap = Tap
+        sys.modules["tap"] = tap
+
+    def box_convert(boxes, in_fmt, out_fmt):
+        import torch
+
+        assert (in_fmt, out_fmt) == ("cxcywh", "xyxy"), (in_fmt, out_fmt)
+        cx, cy, w, h = boxes.unbind(-1)
+        return torch.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+
+    sys.modules["torchvision.ops"].box_convert = box_convert
+
+
+class ReferenceLoader:
+    """Minimal stand-in for the reference's InfiniteDataLoader: yields the
+    ultralytics batch dict (img uint8 NCHW, batch_idx/cls/bboxes flattened,
+    resized_shape) the OODMethod iterate_* loops consume (ood_utils.py:294,
+    428). Images must already be exactly (size, size) so the letterbox is the
+    identity on both frameworks and pixels match bit-exactly."""
+
+    def __init__(self, im_files, size, names, number_of_classes, yaml_name="ds"):
+        import torch
+
+        self.batch_size = None  # set by batched()
+        self.size = size
+        self.im_files = sorted(im_files)
+        self.dataset = types.SimpleNamespace(
+            data={"names": dict(enumerate(names)), "yaml_file": f"{yaml_name}.yaml"},
+            number_of_classes=number_of_classes,
+        )
+        self._torch = torch
+
+    def _load(self, f):
+        import numpy as np
+        from PIL import Image
+
+        with Image.open(f) as im:
+            arr = np.asarray(im.convert("RGB"))
+        assert arr.shape == (self.size, self.size, 3), \
+            f"{f}: {arr.shape} != square {self.size} (letterbox must be identity)"
+        lp = Path(f).with_suffix(".txt")
+        lp = Path(str(lp).replace("/images/", "/labels/"))
+        rows = np.loadtxt(lp, ndmin=2) if lp.exists() and lp.read_text().strip() \
+            else np.empty((0, 5))
+        return arr, rows
+
+    def batched(self, batch_size):
+        self.batch_size = batch_size
+        return self
+
+    def __len__(self):
+        return (len(self.im_files) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        import numpy as np
+        torch = self._torch
+
+        bs = self.batch_size
+        for s in range(0, len(self.im_files), bs):
+            files = self.im_files[s:s + bs]
+            imgs, bidx, cls, bb = [], [], [], []
+            for j, f in enumerate(files):
+                arr, rows = self._load(f)
+                imgs.append(torch.from_numpy(arr.transpose(2, 0, 1).copy()))
+                bidx.extend([j] * len(rows))
+                cls.extend(rows[:, 0].tolist())
+                bb.extend(rows[:, 1:5].tolist())
+            yield {
+                "img": torch.stack(imgs),
+                "im_file": list(files),
+                "batch_idx": torch.tensor(bidx, dtype=torch.float32),
+                "cls": torch.tensor(np.asarray(cls, np.float32)).view(-1, 1),
+                "bboxes": torch.tensor(
+                    np.asarray(bb, np.float32).reshape(-1, 4)),
+                "resized_shape": [(self.size, self.size)] * len(files),
+                "ori_shape": [(self.size, self.size)] * len(files),
+            }
+
+
 # our model name -> reference yaml (scale resolved from the file name by
 # ultralytics yaml_model_load, e.g. yolov8n.yaml -> yolov8.yaml @ scale n)
 REF_YAML = {
@@ -316,6 +408,61 @@ def build_reference_model(name: str, nc: int = 80, randomize: bool = True,
     head.output_values_before_sigmoid = True  # head.py:63,148-151
     if getattr(head, "end2end", False):
         head.validating = False  # ood_utils.py:3540-3541 disables v10 postproc
+    return tm
+
+
+def build_reference_yolo(name: str, tm, tmp_dir, nc: int):
+    """Wrap a bridge-built DetectionModel in the reference's YOLO front-end so
+    its own `model.predict` (modified DetectionPredictor postprocess,
+    models/yolo/detect/predict.py:118-300) is executable end-to-end. The yaml
+    is copied to a tmp file with the right `nc` (scale still resolves from the
+    file name); ckpt/ckpt_path are filled with what the research layer reads
+    (define_paths_of_activations..., ood_evaluation.py:296; configure_extra_
+    output_of_the_model's "yolov10" check, ood_utils.py:3540)."""
+    install_cli_shim()
+    from ultralytics import YOLO
+
+    ref_yaml = REFERENCE / REF_YAML[name]
+    if not ref_yaml.exists():
+        # scale-suffixed names (yolov8n.yaml) resolve to the base file with
+        # the scale re-derived from the file name (ultralytics yaml_model_load)
+        base = ref_yaml.name.replace(".yaml", "")[:-1] + ".yaml"
+        ref_yaml = ref_yaml.with_name(base)
+    src = ref_yaml.read_text()
+    yaml_path = Path(tmp_dir) / Path(REF_YAML[name]).name
+    import re
+
+    yaml_path.write_text(re.sub(r"^nc:\s*\d+", f"nc: {nc}", src, flags=re.M))
+    ym = YOLO(str(yaml_path), task="detect")
+    ym.model.load_state_dict(tm.state_dict())
+    ym.model.eval()
+    ym.ckpt = {"train_args": {"name": f"{name}_cliparity"}}
+    ym.ckpt_path = f"{name}_cliparity"
+    return ym
+
+
+def tweak_head_for_realistic_outputs(tm, seed: int = 3):
+    """Reshape a randomized fresh-init model's head so its outputs look like a
+    trained detector's: cls sigmoid scores spread over (0.01, 0.9) instead of
+    saturating, and DFL bin logits decaying with distance so decoded boxes are
+    small and spatially varied rather than all-anchors-whole-image. Keeps
+    composition-parity scenarios (matching, percentiles, NMS) off pathological
+    all-ties inputs. Must be applied identically before exporting weights to
+    either framework."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    head = tm.model[-1]
+    with torch.no_grad():
+        for seq in head.cv3:  # cls branch
+            seq[-1].weight.mul_(0.12)
+            seq[-1].bias.copy_(
+                torch.randn(seq[-1].bias.shape, generator=g) * 1.2 - 1.8)
+        for seq in head.cv2:  # box branch (4 * reg_max DFL logits)
+            seq[-1].weight.mul_(0.6)
+            b = (-torch.arange(16, dtype=torch.float32) * 0.7).repeat(4)
+            b += torch.randn(b.shape, generator=g) * 0.4
+            seq[-1].bias.copy_(b)
     return tm
 
 

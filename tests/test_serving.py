@@ -123,6 +123,40 @@ def test_serving_error_propagates_and_keeps_serving(det):
         assert ok["num_valid"] >= 0
 
 
+def test_serving_executable_raises_mid_batch_fails_all_futures(det):
+    """If the jitted executable itself raises while a coalesced group is in
+    flight, EVERY pending future in that group must receive the exception
+    (none may hang) and the server must keep serving afterwards
+    (serving.py:_loop group-failure path)."""
+    rng = np.random.default_rng(5)
+    imgs = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    with MicroBatchServer(det, batch_size=2, max_wait_ms=200.0,
+                          conf_thres=1e-6, pre_nms_k=64) as srv:
+        real_predict = srv._predict
+
+        def poisoned(images):
+            raise RuntimeError("XLA executable died mid-batch")
+
+        srv._predict = poisoned
+        futs = [None, None]
+
+        def put(i):
+            futs[i] = srv.submit(imgs[i])
+
+        threads = [threading.Thread(target=put, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for f in futs:
+            with pytest.raises(RuntimeError, match="mid-batch"):
+                f.result(timeout=120)
+
+        srv._predict = real_predict  # server thread must still be alive
+        ok = srv.predict_one(imgs[0])
+        assert ok["num_valid"] >= 0 and ok["boxes"].shape[1] == 4
+
+
 def test_serving_mixed_dtype_group(det):
     """A micro-batch mixing uint8 and float32 images must normalize the u8
     ones (np.stack would silently promote 0-255 values into the f32 batch)."""
