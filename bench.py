@@ -173,6 +173,66 @@ def bench_eul_host(det):
     }))
 
 
+def bench_distance_eul_e2e(det):
+    """Combined distance+EUL eval throughput through the REAL pipeline loop
+    (ood/pipeline.py evaluate_method): device forward + fused detect + RoI
+    taps + distance decide + device EUL front-end for batch i+1 overlapped
+    with batch i's host CC/postprocess + metric accumulation (VERDICT r3 #6).
+    Wall-clock over the full call with state carried into compute_metrics —
+    nothing is DCE-able. The reference runs this loop entirely on the host
+    (ood_utils.py:428-932)."""
+    from ood_in_object_detection_tpu.ood.methods import DistanceOODMethod
+    from ood_in_object_detection_tpu.ood.pipeline import evaluate_method
+
+    dims = det.neck_channels()
+    rng = np.random.default_rng(0)
+    clusters = []
+    for _ in range(NC):
+        row = []
+        for s in range(3):
+            c = rng.normal(size=(3, dims[s])).astype(np.float32)
+            row.append(c / np.linalg.norm(c, axis=-1, keepdims=True))
+        clusters.append(row)
+    method = DistanceOODMethod.from_name("Cosine_cl_stride", cluster_method="all")
+    method.clusters = clusters
+    method.thresholds = [[0.3] * 3 for _ in range(NC)]
+
+    def make_batches(n_batches, bs):
+        out = []
+        imgs = np.asarray(jax.random.uniform(
+            jax.random.PRNGKey(7), (bs, IMG, IMG, 3), jnp.float32))
+        for k in range(n_batches):
+            out.append(dict(
+                images=imgs, im_names=[f"b{k}_{i}" for i in range(bs)],
+                batch_mask=np.ones(bs, bool),
+                ratio_pad=[((1.0, 1.0), (0.0, 0.0))] * bs,
+                gt_bboxes=np.tile(np.array([[100, 100, 260, 280]], np.float32),
+                                  (bs, 1, 1)),
+                gt_labels=np.zeros((bs, 1), np.int32),
+                gt_mask=np.ones((bs, 1), bool)))
+        return out
+
+    kw = dict(known_classes=list(range(NC)),
+              class_names=[f"c{i}" for i in range(NC)] + ["unknown"],
+              conf_thr_test=0.25, enhanced_unk_localization=True)
+    evaluate_method(det, make_batches(1, BATCH), method, **kw)  # compile warm
+    n_batches = 8
+    t0 = time.perf_counter()
+    evaluate_method(det, make_batches(n_batches, BATCH), method, **kw)
+    wall = time.perf_counter() - t0
+    ips = n_batches * BATCH / wall
+    print(json.dumps({
+        "metric": "images_per_sec_yolov8n_distance_eul_eval_e2e",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        # nominal 1000 img/s single-A100 torch predict + host scoring loop,
+        # BASELINE.json ">=5x A100" north star (same denominator as the
+        # distance-eval and headline metrics; the reference publishes no
+        # EUL throughput at all — its EUL loop is all-host)
+        "vs_baseline": round(ips / A100_REFERENCE_IMG_PER_SEC, 3),
+    }))
+
+
 def _detect_score_pipeline(model):
     """u8-input forward + fused detect + MSP + threshold decide closure.
 
@@ -359,6 +419,7 @@ def bench_latency_b1():
 def main():
     det = bench_distance_step()
     bench_eul_host(det)
+    bench_distance_eul_e2e(det)
     del det
     bench_train_step()
     bench_flagship()

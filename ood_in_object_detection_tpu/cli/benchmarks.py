@@ -85,6 +85,10 @@ def run_benchmark(args, detector, method, ind_batches, logger) -> None:
     elif name == "unk_loc_enhancement":
         grid_spec = C.BENCHMARKS["unk_loc_enhancement"][0]
         keys = list(grid_spec)
+        # the reference turns on its Results-level disk cache for this sweep
+        # (ood_evaluation.py:1290) — every combo re-evaluates the same
+        # predictions with different post-prediction knobs
+        CUSTOM_HYP.BENCHMARK_MODE = True
         configure_ind(args, detector, method, ind_batches, logger)
         for combo in itertools.product(*grid_spec.values()):
             for k, v in zip(keys, combo):

@@ -423,6 +423,38 @@ def postprocess_unk_proposals(
     return all_props, all_ranks
 
 
+def eul_frontend_dispatch(
+    p3_batch,                # (B, H, W, C) padded stride-8 neck feature maps
+    ratio_pads: Sequence,    # B x ((r, r), (dw, dh)) from letterbox
+    hyp: Optional[UnkEnhancementParams] = None,
+):
+    """ASYNC half of the batched device EUL front-end: enqueue the jitted
+    saliency+threshold+binarize call and return (device packed masks, device
+    thresholds, pads, (H, W)) WITHOUT blocking — the caller overlaps the
+    device compute of batch i+1 with the host CC/postprocess of batch i
+    (VERDICT r3 #6; the reference does all of this on the host serially,
+    ood_utils.py:641-932). None when the configured summarizer/thresholder
+    has no device path."""
+    hyp = hyp or CUSTOM_HYP.unk
+    from .unknown_device import (DEVICE_SUMMARIZERS, DEVICE_THRESHOLDERS,
+                                 eul_frontend_masks)
+
+    if (hyp.SUMMARIZATION_METHOD not in DEVICE_SUMMARIZERS
+            or hyp.THRESHOLDING_METHOD not in DEVICE_THRESHOLDERS):
+        return None
+    import jax.numpy as jnp
+
+    stride = STRIDES_RATIO[0]
+    pads = np.array([[int(dw / stride), int(dh / stride)]
+                     for (_, (dw, dh)) in ratio_pads], np.int32)
+    packed, thr = eul_frontend_masks(
+        jnp.asarray(p3_batch), jnp.asarray(pads),
+        summarizer=hyp.SUMMARIZATION_METHOD,
+        method=hyp.THRESHOLDING_METHOD,
+        num_thresholds=hyp.NUM_THRESHOLDS)
+    return packed, thr, pads, p3_batch.shape[1:3]
+
+
 def eul_frontend_batched(
     p3_batch: np.ndarray,    # (B, H, W, C) padded stride-8 neck feature maps
     ratio_pads: Sequence,    # B x ((r, r), (dw, dh)) from letterbox
@@ -434,28 +466,23 @@ def eul_frontend_batched(
     to feed ``unknown_proposals_for_image(precomputed=...)``, or None when
     the configured summarizer/thresholder has no device path (caller falls
     back to the host implementations transparently)."""
-    hyp = hyp or CUSTOM_HYP.unk
-    from .unknown_device import (DEVICE_SUMMARIZERS, DEVICE_THRESHOLDERS,
-                                 eul_frontend_masks)
+    return eul_frontend_finish(eul_frontend_dispatch(p3_batch, ratio_pads, hyp),
+                               hyp)
 
-    if (hyp.SUMMARIZATION_METHOD not in DEVICE_SUMMARIZERS
-            or hyp.THRESHOLDING_METHOD not in DEVICE_THRESHOLDERS):
+
+def eul_frontend_finish(
+    dispatched, hyp: Optional[UnkEnhancementParams] = None,
+) -> Optional[List[Tuple[np.ndarray, List[float]]]]:
+    """BLOCKING half: one device_get of the bit-packed masks (32x less wire
+    traffic than the f32 saliency; the host link may be a ~25 ms-latency
+    tunnel) + the per-image unpack/crop/dedup."""
+    if dispatched is None:
         return None
+    hyp = hyp or CUSTOM_HYP.unk
     import jax
-    import jax.numpy as jnp
 
-    stride = STRIDES_RATIO[0]
-    pads = np.array([[int(dw / stride), int(dh / stride)]
-                     for (_, (dw, dh)) in ratio_pads], np.int32)
-    # the device finishes the threshold COMPARE and ships bit-packed masks:
-    # 32x less wire traffic than the f32 saliency, and ONE device_get round
-    # trip (the host link may be a ~25 ms-latency tunnel)
-    packed, thr = jax.device_get(eul_frontend_masks(
-        jnp.asarray(p3_batch), jnp.asarray(pads),
-        summarizer=hyp.SUMMARIZATION_METHOD,
-        method=hyp.THRESHOLDING_METHOD,
-        num_thresholds=hyp.NUM_THRESHOLDS))
-    H, W = p3_batch.shape[1:3]
+    packed, thr, pads, (H, W) = dispatched
+    packed, thr = jax.device_get((packed, thr))
     out = []
     trick = (hyp.OTSU_RECURSIVE_TRICK_FOR_4_THRS
              and hyp.THRESHOLDING_METHOD == "recursive_otsu"

@@ -1,0 +1,70 @@
+"""EUL eval host/device overlap delta (VERDICT r3 #6, PERF.md evidence).
+
+Times the REAL evaluate_method loop (distance decide + EUL) twice:
+overlap=True (shipped one-deep launch/consume pipeline) vs overlap=False
+(serial per-batch), same batches, same method, wall-clock.
+
+Run from /root/repo (axon registration): python scripts/bench_eul_overlap.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    import bench
+    from ood_in_object_detection_tpu.engine import Detector
+    from ood_in_object_detection_tpu.ood.methods import DistanceOODMethod
+    from ood_in_object_detection_tpu.ood.pipeline import evaluate_method
+
+    BATCH, IMG, NC = bench.BATCH, bench.IMG, bench.NC
+    det = Detector.create("yolov8n", nc=NC, img_size=IMG, dtype=jnp.bfloat16)
+    dims = det.neck_channels()
+    rng = np.random.default_rng(0)
+    clusters = [[(lambda c: c / np.linalg.norm(c, axis=-1, keepdims=True))(
+        rng.normal(size=(3, dims[s])).astype(np.float32)) for s in range(3)]
+        for _ in range(NC)]
+    method = DistanceOODMethod.from_name("Cosine_cl_stride", cluster_method="all")
+    method.clusters = clusters
+    method.thresholds = [[0.3] * 3 for _ in range(NC)]
+
+    import jax
+
+    imgs = np.asarray(jax.random.uniform(
+        jax.random.PRNGKey(7), (BATCH, IMG, IMG, 3), jnp.float32))
+
+    def make_batches(n):
+        return [dict(images=imgs, im_names=[f"b{k}_{i}" for i in range(BATCH)],
+                     batch_mask=np.ones(BATCH, bool),
+                     ratio_pad=[((1.0, 1.0), (0.0, 0.0))] * BATCH,
+                     gt_bboxes=np.tile(np.array([[100, 100, 260, 280]],
+                                                np.float32), (BATCH, 1, 1)),
+                     gt_labels=np.zeros((BATCH, 1), np.int32),
+                     gt_mask=np.ones((BATCH, 1), bool))
+                for k in range(n)]
+
+    kw = dict(known_classes=list(range(NC)),
+              class_names=[f"c{i}" for i in range(NC)] + ["unknown"],
+              conf_thr_test=0.25, enhanced_unk_localization=True)
+    evaluate_method(det, make_batches(1), method, **kw)  # compile warm
+    out = {}
+    for tag, ov in (("overlap", True), ("serial", False)):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            evaluate_method(det, make_batches(8), method, overlap=ov, **kw)
+            best = min(best, time.perf_counter() - t0)
+        out[tag] = round(8 * BATCH / best, 1)
+        print(json.dumps({"variant": tag, "img_per_sec": out[tag]}), flush=True)
+    print(json.dumps({"overlap_speedup": round(out["overlap"] / out["serial"], 4)}))
+
+
+if __name__ == "__main__":
+    main()

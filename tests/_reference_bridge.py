@@ -466,6 +466,38 @@ def tweak_head_for_realistic_outputs(tm, seed: int = 3):
     return tm
 
 
+def train_reference_briefly(tm, loader, steps=150, lr=2e-3, seed=0):
+    """Train the torch reference model on a ReferenceLoader just enough that
+    its outputs look like a real detector's (spread confidences, boxes on
+    objects): composition-parity scenarios need non-degenerate, tie-free
+    scores, not a good model. Uses the vendored reference loss
+    (ultralytics v8DetectionLoss); the optimizer is plain Adam because the
+    optimizer is NOT under test here — reference-exact 3-group SGD parity
+    lives in test_reference_parity.py::test_train_step_parity."""
+    import torch
+    from types import SimpleNamespace
+
+    from ultralytics.utils.loss import v8DetectionLoss
+
+    torch.manual_seed(seed)
+    tm.train()
+    tm.args = SimpleNamespace(box=7.5, cls=0.5, dfl=1.5)
+    crit = v8DetectionLoss(tm)
+    opt = torch.optim.Adam(tm.parameters(), lr=lr)
+    done = 0
+    while done < steps:
+        for batch in loader:
+            if done >= steps:
+                break
+            loss, _ = crit(tm(batch["img"].float() / 255), batch)
+            opt.zero_grad()
+            loss.sum().backward()
+            opt.step()
+            done += 1
+    tm.eval()
+    return tm
+
+
 def numpy_state_dict(tm):
     """Materialised copies: ``.float().numpy()`` on an f32 tensor ALIASES the
     live torch storage (and jnp.asarray on CPU can zero-copy it), so without
