@@ -127,6 +127,7 @@ def bench_distance_step():
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(ips / A100_REFERENCE_IMG_PER_SEC, 3),
+        "baseline": "1000 img/s nominal single-A100 torch predict+host scoring (BASELINE.json north star)",
     }))
     return det
 
@@ -169,7 +170,8 @@ def bench_eul_host(det):
         "metric": "eul_host_ms_per_image",
         "value": round(ms, 3),
         "unit": "ms",
-        "vs_baseline": round(ms / 100.0, 3),  # ref host loop ~100ms/img class
+        "vs_baseline": round(ms / 100.0, 3),
+        "baseline": "100 ms/img class of the reference's all-host EUL loop (ood_utils.py:641-932)",
     }))
 
 
@@ -225,6 +227,7 @@ def bench_distance_eul_e2e(det):
         "metric": "images_per_sec_yolov8n_distance_eul_eval_e2e",
         "value": round(ips, 2),
         "unit": "img/s",
+        "baseline": "1000 img/s nominal single-A100 torch predict+host scoring (BASELINE.json north star)",
         # nominal 1000 img/s single-A100 torch predict + host scoring loop,
         # BASELINE.json ">=5x A100" north star (same denominator as the
         # distance-eval and headline metrics; the reference publishes no
@@ -362,7 +365,8 @@ def bench_train_step(name="yolov8n", metric="train_images_per_sec_yolov8n_640_bf
                 "metric": metric,
                 "value": round(ips, 2),
                 "unit": "img/s",
-                "vs_baseline": round(ips / 250.0, 3),  # ~A100 v8n train img/s
+                "vs_baseline": round(ips / 250.0, 3),
+                "baseline": "250 img/s nominal single-A100 v8n@640 torch train step (distinct from the 1000 img/s detect+score north star)",
                 "batch": batch_sz,
             }))
             return
@@ -410,6 +414,7 @@ def bench_latency_b1():
             "value": round(ms, 3),
             "unit": "ms",
             "vs_baseline": round(10.0 / ms, 3),
+            "baseline": "10 ms nominal A100 batch-1 predict dispatch",
         }))
     except Exception:
         print("latency bench failed:", file=sys.stderr)

@@ -100,6 +100,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load_clusters", action="store_true")
     p.add_argument("--load_thresholds", action="store_true")
     p.add_argument("--img_size", type=int, default=640)
+    p.add_argument("--bf16", action="store_true",
+                   help="run the model in bfloat16 (f32 params, bf16 compute"
+                        " + taps). TPU-native serving precision: +26%% eval"
+                        " throughput at measured zero decision flips and"
+                        " <5e-5 threshold delta (PERF.md 'Tap dtype',"
+                        " scripts/bench_bf16_taps.py)")
     p.add_argument("--compute_metrics", action="store_true", default=True)
     p.add_argument("--data_parallel", action="store_true",
                    help="shard every predict batch over all local devices"
@@ -142,18 +148,22 @@ OWOD_TASK_NC = {"t1": 20, "t2": 40, "t3": 60, "t4": 80, "all_task_test": 80}
 
 
 def load_detector(args, default_nc: int = 20) -> Detector:
+    import jax.numpy as jnp
+
     nc = OWOD_TASK_NC.get(args.owod_task_ind, 0) or default_nc
+    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
     if args.model_path:
         from ..core.checkpoint import load_checkpoint
 
         variables, meta = load_checkpoint(args.model_path)
         ckpt_nc = meta.get("nc") or meta.get("train_args", {}).get("nc") or nc
         return Detector.create(meta["model_name"], nc=ckpt_nc,
-                               img_size=args.img_size, variables=variables)
+                               img_size=args.img_size, variables=variables,
+                               dtype=dtype)
     name = f"{args.model_version}{args.model}"
     if args.model_version == "yolov9" and args.model in ("l", "x"):
         name = "yolov9c"  # v9 has t/s/m/c variants only (see models/yolo.py)
-    return Detector.create(name, nc=nc, img_size=args.img_size)
+    return Detector.create(name, nc=nc, img_size=args.img_size, dtype=dtype)
 
 
 def load_dataset(args, path_or_name: str, split: str, owod_task: str) -> DetectionDataset:

@@ -57,19 +57,30 @@ def main():
             x = (images + i.astype(jnp.uint8)).astype(jnp.float32) * (1.0 / 255.0)
             raw_levels, _ = model.apply(vs, x, train=False)
             det, logits = fused_detect(raw_levels, NC, jnp.float32(0.25),
-                                       iou_thres=0.45, max_det=300, pre_nms_k=k)
+                                       iou_thres=0.7, max_det=300, pre_nms_k=k)
             scores = msp_score(logits, det.cls)
             ood = jnp.where(det.valid,
                             (scores >= thresholds[det.cls]).astype(jnp.int32), 0)
             return det.conf.sum() + scores.sum() + ood.sum()
         return pipeline
 
+    # r4 (VERDICT r3 #5b): fine batch sweep around the r3 optimum + mixed
+    # per-region param storage (backbone bf16 / detect-head f32 — the head's
+    # small convs pay the upcast worst) + k=384 + the corrected IoU default
+    def _is_head(path):
+        return any("detect" in str(k).lower() for k in path)
+
+    v_mixed = jax.tree_util.tree_map_with_path(
+        lambda p, x: (x if (_is_head(p) or x.dtype != jnp.float32)
+                      else x.astype(jnp.bfloat16)), variables)
+
     cases = []
-    for bsz in (96, 112, 128):
+    for bsz in (112, 116, 120, 124, 128, 132, 136):
         cases.append((f"b{bsz} f32-params k512", bsz, variables, 512))
-    cases.append(("b96  bf16-params k512", 96, v_bf16, 512))
+    cases.append(("b128 f32-params k384", 128, variables, 384))
+    cases.append(("b128 f32-params k256", 128, variables, 256))
     cases.append(("b128 bf16-params k512", 128, v_bf16, 512))
-    cases.append(("b128 bf16-params k256", 128, v_bf16, 256))
+    cases.append(("b128 mixed-params k512", 128, v_mixed, 512))
 
     for name, bsz, vs, k in cases:
         try:
