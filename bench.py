@@ -1,19 +1,26 @@
 """End-to-end throughput bench of the shipped inference paths.
 
-Prints one JSON line per metric; the HEADLINE metric (v8n detect+score e2e)
-is printed LAST so single-line parsers keep recording it:
+Prints one JSON line per metric. The HEADLINE metric (v8n detect+score e2e)
+runs and prints FIRST so a driver-side timeout can never lose it (round 4
+lost 5 of 7 metrics to rc=124 because a >9 min metric ran third); every
+metric after it runs under a SIGALRM wall-clock budget and a global
+deadline (env ``BENCH_DEADLINE_S``, default 1500 s) — a metric that would
+blow the budget is skipped with a stderr note instead of starving the rest.
 
-1. ``distance_eval_step``: the engine's REAL predict step — forward, fused
+1. ``detect_score_e2e`` (headline): 640x640 bf16 forward, lazy fused
+   DFL decode + fixed-shape NMS, per-box MSP + threshold decision.
+2. ``distance_eval_step``: the engine's REAL predict step — forward, fused
    detect, RoI-aligned + exact-position neck features, all three neck maps —
    plus a Cosine_cl_stride distance-method decision against a fitted-size
    centroid bank (3 centroids x 20 classes x 3 strides, Pallas MXU kernel).
    This is the step `cli/ood_eval.py` actually drives for distance methods
    (reference flow: ood_utils.py:428-582).
-2. ``eul_host_ms_per_image``: host-side Enhanced Unknown Localization cost
+3. ``eul_host_ms_per_image``: host-side Enhanced Unknown Localization cost
    per image (saliency -> Otsu thresholds -> CC boxes -> postprocess) on a
    real P3 map (reference ood_utils.py:641-898).
-3. ``detect_score_e2e`` (headline): 640x640 bf16 forward, lazy fused
-   DFL decode + fixed-shape NMS, per-box MSP + threshold decision.
+4. train / flagship / latency, then ``distance_eul_eval_e2e`` LAST — it is
+   a pipeline-overlap metric, not a peak number, so it runs a slim config
+   (batch 32 x 4 batches) that fits ~2 min even through the tunnel.
 
 All device loops run ON DEVICE inside a single jit (lax.fori_loop with a
 per-iteration input perturbation to defeat loop-invariant hoisting) and end
@@ -28,6 +35,9 @@ host scoring loop, per BASELINE.json's ">=5x A100" north star.
 """
 
 import json
+import os
+import signal
+import sys
 import time
 
 import jax
@@ -44,6 +54,45 @@ IMG = 640
 LOOP_ITERS = 16
 PRE_NMS_K = 512
 NC = 20
+
+
+_T0 = time.monotonic()
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+
+
+class _BudgetExceeded(Exception):
+    pass
+
+
+def _budgeted(name, budget_s, fn, *args):
+    """Run one metric under a wall-clock budget (SIGALRM) and the global
+    deadline. On overrun: stderr note, keep going — a slow metric must
+    never starve the ones after it (round-4 rc=124 post-mortem)."""
+    remaining = DEADLINE_S - (time.monotonic() - _T0)
+    if remaining < 30:
+        print(f"{name}: skipped, global deadline "
+              f"({DEADLINE_S:.0f}s) nearly spent", file=sys.stderr)
+        return None
+    limit = int(min(budget_s, remaining))
+
+    def _raise(signum, frame):
+        raise _BudgetExceeded()
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(limit)
+    try:
+        return fn(*args)
+    except _BudgetExceeded:
+        print(f"{name}: exceeded {limit}s budget, skipped", file=sys.stderr)
+        return None
+    except Exception:
+        import traceback
+        print(f"{name}: failed:", file=sys.stderr)
+        traceback.print_exc()
+        return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def device_loop_ms(pipeline, *args, iters=None):
@@ -182,10 +231,17 @@ def bench_distance_eul_e2e(det):
     with batch i's host CC/postprocess + metric accumulation (VERDICT r3 #6).
     Wall-clock over the full call with state carried into compute_metrics —
     nothing is DCE-able. The reference runs this loop entirely on the host
-    (ood_utils.py:428-932)."""
+    (ood_utils.py:428-932).
+
+    SLIM config (batch 32 x 4 batches, 1 warm batch): this is a
+    pipeline-OVERLAP metric, not a peak-throughput number — at batch 128 x
+    9 batches the neck-tap fetches through the ~25 ms/dispatch tunnel alone
+    exceeded 9 min and timed out the round-4 driver run (VERDICT r4 weak #1).
+    Peak chip throughput for the same step lives in distance_eval_step."""
     from ood_in_object_detection_tpu.ood.methods import DistanceOODMethod
     from ood_in_object_detection_tpu.ood.pipeline import evaluate_method
 
+    eul_bs = 32
     dims = det.neck_channels()
     rng = np.random.default_rng(0)
     clusters = []
@@ -217,12 +273,12 @@ def bench_distance_eul_e2e(det):
     kw = dict(known_classes=list(range(NC)),
               class_names=[f"c{i}" for i in range(NC)] + ["unknown"],
               conf_thr_test=0.25, enhanced_unk_localization=True)
-    evaluate_method(det, make_batches(1, BATCH), method, **kw)  # compile warm
-    n_batches = 8
+    evaluate_method(det, make_batches(1, eul_bs), method, **kw)  # compile warm
+    n_batches = 4
     t0 = time.perf_counter()
-    evaluate_method(det, make_batches(n_batches, BATCH), method, **kw)
+    evaluate_method(det, make_batches(n_batches, eul_bs), method, **kw)
     wall = time.perf_counter() - t0
-    ips = n_batches * BATCH / wall
+    ips = n_batches * eul_bs / wall
     print(json.dumps({
         "metric": "images_per_sec_yolov8n_distance_eul_eval_e2e",
         "value": round(ips, 2),
@@ -422,24 +478,20 @@ def bench_latency_b1():
 
 
 def main():
-    det = bench_distance_step()
-    bench_eul_host(det)
-    bench_distance_eul_e2e(det)
-    del det
-    bench_train_step()
-    bench_flagship()
-    bench_latency_b1()
-    bench_headline()
-
-
-def _main_with_fallback():
-    global BATCH, LOOP_ITERS
-    try:
-        main()
-    except Exception:  # smaller chip: fall back to a modest batch
-        BATCH, LOOP_ITERS = 32, 16
-        main()
+    # HEADLINE FIRST: a driver-side timeout must never lose it (round 4
+    # lost 5/7 metrics to rc=124 with the old third-place ordering).
+    _budgeted("headline", 360, bench_headline)
+    det = _budgeted("distance_eval_step", 300, bench_distance_step)
+    if det is not None:
+        _budgeted("eul_host", 240, bench_eul_host, det)
+    _budgeted("train_step", 360, bench_train_step)
+    _budgeted("flagship", 420, bench_flagship)
+    _budgeted("latency_b1", 180, bench_latency_b1)
+    # the pipeline-overlap metric runs LAST on its slim config: losing it to
+    # the deadline costs one metric instead of five.
+    if det is not None:
+        _budgeted("distance_eul_e2e", 300, bench_distance_eul_e2e, det)
 
 
 if __name__ == "__main__":
-    _main_with_fallback()
+    main()

@@ -87,15 +87,21 @@ def run_benchmark(args, detector, method, ind_batches, logger) -> None:
         keys = list(grid_spec)
         # the reference turns on its Results-level disk cache for this sweep
         # (ood_evaluation.py:1290) — every combo re-evaluates the same
-        # predictions with different post-prediction knobs
+        # predictions with different post-prediction knobs. Restore the flag
+        # after (the reference leaks it but its process exits; library/test
+        # callers of run_benchmark do not — ADVICE r4).
+        prior_mode = CUSTOM_HYP.BENCHMARK_MODE
         CUSTOM_HYP.BENCHMARK_MODE = True
-        configure_ind(args, detector, method, ind_batches, logger)
-        for combo in itertools.product(*grid_spec.values()):
-            for k, v in zip(keys, combo):
-                set_by_dotted_path(CUSTOM_HYP, k, v)
-            CUSTOM_HYP.unk.USE_UNK_ENHANCEMENT = True
-            a = deepcopy(args); a.enhanced_unk_localization = True
-            rows.extend(run_eval(a, detector, method, logger))
+        try:
+            configure_ind(args, detector, method, ind_batches, logger)
+            for combo in itertools.product(*grid_spec.values()):
+                for k, v in zip(keys, combo):
+                    set_by_dotted_path(CUSTOM_HYP, k, v)
+                CUSTOM_HYP.unk.USE_UNK_ENHANCEMENT = True
+                a = deepcopy(args); a.enhanced_unk_localization = True
+                rows.extend(run_eval(a, detector, method, logger))
+        finally:
+            CUSTOM_HYP.BENCHMARK_MODE = prior_mode
     else:
         raise ValueError(f"unknown benchmark {name}")
 

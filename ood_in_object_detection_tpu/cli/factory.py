@@ -8,6 +8,36 @@ from __future__ import annotations
 from ..constants import DISTANCE_METHODS, LOGITS_METHODS
 from ..ood.methods import DistanceOODMethod, FusionOODMethod, LogitsOODMethod
 
+# scales reachable per family through the CLI (models/yolo.py SCALES/SPECS).
+# v9 l/x remap to c, mirroring the reference's fallthrough for sizes its v9
+# repo doesn't ship (custom_training.py:90-127).
+FAMILY_SCALES = {
+    "yolov8": "nsmlx",
+    "yolov9": "tsmce" + "lx",  # l/x remapped to c below
+    "yolov10": "nsmblx",
+    "yolo11": "nsmlx",
+    "yolo12": "nsmlx",
+}
+
+
+def resolve_model_name(model_version: str, scale: str) -> str:
+    """Validate the (family, scale) combination up front and return the
+    build_model name — a bad combo fails here with the valid scales named,
+    not deep inside build_model (ADVICE r4)."""
+    valid = FAMILY_SCALES.get(model_version)
+    if valid is None:
+        raise SystemExit(
+            f"unknown model_version '{model_version}'; "
+            f"have {sorted(FAMILY_SCALES)}")
+    if scale not in valid:
+        raise SystemExit(
+            f"{model_version} has no '{scale}' scale; valid scales: "
+            f"{', '.join(valid.replace('lx', '') if model_version == 'yolov9' else valid)}"
+            + (" (l/x map to c)" if model_version == "yolov9" else ""))
+    if model_version == "yolov9" and scale in ("l", "x"):
+        return "yolov9c"  # v9 has t/s/m/c/e variants only (models/yolo.py)
+    return f"{model_version}{scale}"
+
 
 def build_ood_method(
     name: str,

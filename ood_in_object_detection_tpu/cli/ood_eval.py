@@ -160,9 +160,9 @@ def load_detector(args, default_nc: int = 20) -> Detector:
         return Detector.create(meta["model_name"], nc=ckpt_nc,
                                img_size=args.img_size, variables=variables,
                                dtype=dtype)
-    name = f"{args.model_version}{args.model}"
-    if args.model_version == "yolov9" and args.model in ("l", "x"):
-        name = "yolov9c"  # v9 has t/s/m/c variants only (see models/yolo.py)
+    from .factory import resolve_model_name
+
+    name = resolve_model_name(args.model_version, args.model)
     return Detector.create(name, nc=nc, img_size=args.img_size, dtype=dtype)
 
 
@@ -239,6 +239,9 @@ def run_eval(args, detector, method, logger) -> List[Dict]:
     for ds_path in args.ood_datasets:
         ds = load_dataset(args, ds_path, args.ood_split, args.owod_task_ood)
         batches = PaddedBatcher(ds, args.batch_size, args.img_size)
+        # names the dataset in the BENCHMARK_MODE slim-cache key so multiple
+        # --ood_datasets never collide (ood/pipeline.py; ADVICE r4 high)
+        batches.tag = ds.yaml_name
         known = list(range(ds.number_of_classes))
         names = ds.names[: ds.number_of_classes] + ["unknown"]
         vis_dir = None

@@ -118,8 +118,10 @@ def main(argv=None) -> None:
     ds = DetectionDataset.from_yaml(args.dataset, split="train",
                                     owod_task=args.owod_task or None,
                                     tasks_dir=args.owod_tasks_dir or None)
+    from .factory import resolve_model_name
+
     nc = args.number_of_classes or ds.number_of_classes
-    name = f"{args.model_version}{args.model}"
+    name = resolve_model_name(args.model_version, args.model)
     model = build_model(name, nc=nc,
                         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
 

@@ -21,6 +21,8 @@ around the single jitted predict step:
 from __future__ import annotations
 
 import logging
+import os
+import time
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -37,6 +39,11 @@ from .unknown import (eul_frontend_dispatch, eul_frontend_finish,
                       unknown_proposals_for_image)
 
 log = logging.getLogger(__name__)
+
+# per-process nonce for the BENCHMARK_MODE slim prediction cache, the analog
+# of the reference's run-start NOW timestamp in its cache key
+# (ood_utils.py:477) — stale entries from prior runs can never be read.
+_CACHE_NONCE = f"{os.getpid():x}-{int(time.time()):x}"
 
 UNK_PROPOSAL_CONF = 0.150001  # reference ood_utils.py:530
 
@@ -386,7 +393,14 @@ def evaluate_method(
 
         cache_dir = TEMPORAL_STORAGE_PATH
         cache_dir.mkdir(parents=True, exist_ok=True)
-        cache_tag = (f"{getattr(batches, 'tag', 'ds')}_conf{conf_thr_test}"
+        # key = per-process nonce + dataset tag + test conf, mirroring the
+        # reference's f"{NOW}_{dataset_name}_{idx}" (ood_utils.py:477): the
+        # nonce keeps re-runs with different checkpoints from reusing stale
+        # entries while letting combos WITHIN one sweep process hit; the tag
+        # (set to ds.yaml_name by cli/ood_eval.run_eval) keeps multiple
+        # --ood_datasets from colliding (ADVICE r4 high).
+        cache_tag = (f"{_CACHE_NONCE}_{getattr(batches, 'tag', 'ds')}"
+                     f"_conf{conf_thr_test}"
                      + ("_eul" if enhanced_unk_localization else ""))
 
     def _predict(batch_idx, images):
