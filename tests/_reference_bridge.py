@@ -346,6 +346,9 @@ class ReferenceLoader:
                     np.asarray(bb, np.float32).reshape(-1, 4)),
                 "resized_shape": [(self.size, self.size)] * len(files),
                 "ori_shape": [(self.size, self.size)] * len(files),
+                # identity letterbox: ratio 1, pad 0 (the EUL driver reads
+                # data['ratio_pad'][i][1] for pad-restore, ood_utils.py:695)
+                "ratio_pad": [((1.0, 1.0), (0.0, 0.0))] * len(files),
             }
 
 

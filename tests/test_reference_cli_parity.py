@@ -130,9 +130,14 @@ class _SilentLogger:
         return lambda *a, **kw: None
 
 
-def _run_reference(shared, method_name, strategy):
+def _run_reference(shared, method_name, strategy, eul=False):
     """The reference's own main() composition (ood_evaluation.py:662-846):
-    method factory -> configure extra output -> InD pipeline -> run_eval."""
+    method factory -> configure extra output -> InD pipeline -> run_eval.
+    With ``eul`` the reference's EUL driver runs inside its own metric loop
+    (compute_extra_possible_unkwnown_bboxes_and_decision, ood_utils.py:
+    641-1174; proposal accumulate :511-549, conf 0.150001 at :530) — it
+    requires which_internal_activations='ftmaps_and_strides'
+    (ood_utils.py:673)."""
     import ood_evaluation as oe
     import ood_utils as ou
 
@@ -142,8 +147,9 @@ def _run_reference(shared, method_name, strategy):
         ood_method=method_name, cluster_method="one",
         cluster_optimization_metric="silhouette",
         ind_info_creation_option="valid_preds_one_stride",
-        which_internal_activations="roi_aligned_ftmaps",
-        enhanced_unk_localization=False,
+        which_internal_activations=("ftmaps_and_strides" if eul
+                                    else "roi_aligned_ftmaps"),
+        enhanced_unk_localization=eul,
         conf_thr_train=CONF_TRAIN, conf_thr_test=CONF_TEST,
         use_values_before_sigmoid=True, tpr_thr=0.95, which_split="train",
         load_thresholds=False, load_clusters=False,
@@ -182,11 +188,24 @@ def _run_reference(shared, method_name, strategy):
             return d
 
         method.compute_ood_decision_on_results = spy
+    props_cap = []
+    if eul:
+        orig_eul = method.compute_extra_possible_unkwnown_bboxes_and_decision
+
+        def eul_spy(*a, **kw):
+            r = orig_eul(*a, **kw)
+            boxes_per_img, dec_per_img = r[0], r[1]
+            for bx, dc in zip(boxes_per_img, dec_per_img):
+                props_cap.append((np.asarray(bx, np.float64).reshape(-1, 4),
+                                  [int(d) for d in dc]))
+            return r
+
+        method.compute_extra_possible_unkwnown_bboxes_and_decision = eul_spy
     metrics = oe.run_eval(method, shared.ym, "cpu", oo, [0, 1], lg)
-    return method.thresholds, metrics, captured
+    return method.thresholds, metrics, captured, props_cap
 
 
-def _run_ours(shared, method_name, strategy, tag):
+def _run_ours(shared, method_name, strategy, tag, eul=False):
     from ood_in_object_detection_tpu import constants as C
     from ood_in_object_detection_tpu.cli import ood_eval as oe_cli
     from ood_in_object_detection_tpu.ood import pipeline as pl
@@ -198,9 +217,20 @@ def _run_ours(shared, method_name, strategy, tag):
     C.STORAGE_PATH = shared.root / "storage_ours"
     is_fusion = method_name.startswith("fusion")
     captured, metrics_cap, fitted = [], {}, {}
+    props_cap = []
     orig_dec = pl._decisions_for_method
     orig_eval = pl.evaluate_method
     orig_cfg = oe_cli.configure_ind
+    orig_unk = pl.unknown_proposals_for_image
+
+    def unk_spy(*a, **kw):
+        r = orig_unk(*a, **kw)
+        props = r[0] if isinstance(r, tuple) else r
+        dec = r[1] if isinstance(r, tuple) and r[1] is not None else \
+            [0] * len(props)
+        props_cap.append((np.asarray(props, np.float64).reshape(-1, 4),
+                          [int(d) for d in dec]))
+        return r
 
     def dec_spy(method, out, neck_ch, want_scores=False):
         r = orig_dec(method, out, neck_ch, want_scores=want_scores)
@@ -224,6 +254,7 @@ def _run_ours(shared, method_name, strategy, tag):
     pl.evaluate_method = eval_spy
     oe_cli.evaluate_method = eval_spy
     oe_cli.configure_ind = cfg_spy
+    pl.unknown_proposals_for_image = unk_spy
     try:
         oe_cli.main([
             "--ood_method", method_name, "--model", "n",
@@ -234,12 +265,14 @@ def _run_ours(shared, method_name, strategy, tag):
             "--conf_thr_test", str(CONF_TEST),
             "--fusion_strategy", strategy,
             "--img_size", str(SIZE), "--batch_size", "2", "--name", tag,
-        ])
+        ] + (["--enhanced_unk_localization", "--which_internal_activations",
+              "ftmaps_and_strides"] if eul else []))
     finally:
         pl._decisions_for_method = orig_dec
         pl.evaluate_method = orig_eval
         oe_cli.evaluate_method = orig_eval
         oe_cli.configure_ind = orig_cfg
+        pl.unknown_proposals_for_image = orig_unk
         C.RESULTS_PATH, C.STORAGE_PATH = res_path, sto_path
 
     m = fitted["method"]
@@ -248,7 +281,7 @@ def _run_ours(shared, method_name, strategy, tag):
            [mm.thresholds for mm in m.methods] if hasattr(m, "methods")
            else m.thresholds)
     csvs = list((shared.root / f"results_{tag}").glob("*.csv"))
-    return thr, metrics_cap, captured, csvs
+    return thr, metrics_cap, captured, csvs, props_cap
 
 
 def _norm_thr(t):
@@ -260,8 +293,8 @@ def _norm_thr(t):
 
 
 def _assert_parity(ref_out, our_out, method_name):
-    ref_thr, ref_metrics, ref_dec = ref_out
-    thr, metrics, dec, csvs = our_out
+    ref_thr, ref_metrics, ref_dec = ref_out[:3]
+    thr, metrics, dec, csvs = our_out[:4]
     # decisions: exact, per box per image per batch
     assert dec == ref_dec, f"{method_name}: decisions diverged"
     # metrics: exact to float64 roundoff of the shared protocol arithmetic
@@ -337,4 +370,40 @@ def test_cli_composition_parity_fusion_score_quirk(shared):
     _assert_parity(ref_out, our_out, "fusion-score")
     # the quirk's signature: every decision 0, mAP 0, but unknown recall high
     assert all(d == 0 for b in ref_out[2] for img in b for d in img)
+    assert ref_out[1]["U-REC"] > 0
+
+
+def test_cli_composition_parity_eul(shared):
+    """EUL-enabled composition (VERDICT r4 missing #1): the reference's own
+    compute_extra_possible_unkwnown_bboxes_and_decision chain inside its
+    iterate_data_to_compute_metrics (ood_utils.py:641-1174; pad-restore ->
+    heuristics -> rank-with-fitted-clusters -> proposal NMS -> class-80
+    accumulate at conf 0.150001, :511-549) vs our
+    evaluate_method(enhanced_unk_localization=True) through cli.ood_eval,
+    under the shipped CUSTOM_HYP.unk defaults (MAD saliency, recursive Otsu,
+    entropy rank, top-3, NMS 0.5). Asserts equal unknown proposals (boxes +
+    all-zero decisions), equal per-box OoD decisions on the regular preds,
+    and equal metric/CSV rows. Pad-restore with NONZERO padding is pinned
+    piecewise (test_reference_pipeline_parity) — this dataset's letterbox is
+    the identity, so the composition runs with pad 0."""
+    ref_out = _run_reference(shared, "L2_cl_stride", "score", eul=True)
+    our_out = _run_ours(shared, "L2_cl_stride", "score", "eul", eul=True)
+    _assert_parity(ref_out, our_out, "L2_cl_stride+EUL")
+
+    ref_props, our_props = ref_out[3], our_out[4]
+    assert len(ref_props) == len(our_props) > 0, \
+        (len(ref_props), len(our_props))
+    total = 0
+    for i, ((rb, rd), (ob, od)) in enumerate(zip(ref_props, our_props)):
+        assert len(rb) == len(ob), f"img {i}: {len(rb)} vs {len(ob)} proposals"
+        # proposals are CC boxes on the shared binarization grid scaled by
+        # stride 8 — coordinate-exact up to f32 roundoff of the rank/NMS tail
+        np.testing.assert_allclose(ob, rb, rtol=1e-5, atol=1e-3,
+                                   err_msg=f"img {i}: proposal boxes")
+        # the reference's decision on proposals is the all-zeros placeholder
+        # (compute_ood_decision_on_roi_aligned_unk_boxes, ood_utils.py:929-936)
+        assert rd == od == [0] * len(rb), f"img {i}: proposal decisions"
+        total += len(rb)
+    assert total > 0, "EUL produced zero proposals everywhere — vacuous"
+    # non-vacuous protocol effect: proposals must move the unknown metrics
     assert ref_out[1]["U-REC"] > 0
