@@ -22,14 +22,20 @@ from ..eval.results_writer import append_results
 from .factory import build_ood_method
 
 
-def run_benchmark(args, detector, method, ind_batches, logger) -> None:
-    from .ood_eval import configure_ind, run_eval
+def run_benchmark(args, detector, method, ind_batches, logger,
+                  val_batches=None) -> None:
+    from .ood_eval import build_val_batches, configure_ind, run_eval
 
     name = args.benchmark
     rows: List[Dict] = []
 
     def full_run(local_args, local_method):
-        configure_ind(local_args, detector, local_method, ind_batches, logger)
+        nonlocal val_batches
+        if local_args.which_split in ("val", "train_val") and val_batches is None:
+            val_batches = build_val_batches(args)  # lazy: the sweep may visit
+            # val splits even when the top-level --which_split was 'train'
+        configure_ind(local_args, detector, local_method, ind_batches, logger,
+                      val_batches=val_batches)
         rows.extend(run_eval(local_args, detector, local_method, logger))
 
     if name in ("best_methods", "logits_methods"):
@@ -66,7 +72,8 @@ def run_benchmark(args, detector, method, ind_batches, logger) -> None:
                                      args.temperature_energy, args.temperature_odin)
             full_run(a, m)
     elif name == "conf_thr_test":
-        configure_ind(args, detector, method, ind_batches, logger)
+        configure_ind(args, detector, method, ind_batches, logger,
+                      val_batches=val_batches)
         for v in C.BENCHMARKS["conf_thr_test"]:
             a = deepcopy(args); a.conf_thr_test = v
             rows.extend(run_eval(a, detector, method, logger))
@@ -77,7 +84,8 @@ def run_benchmark(args, detector, method, ind_batches, logger) -> None:
                                  args.cluster_optimization_metric, "and",
                                  args.temperature_energy, args.temperature_odin)
             a0 = deepcopy(args); a0.ood_method = f_name
-            configure_ind(a0, detector, m, ind_batches, logger)
+            configure_ind(a0, detector, m, ind_batches, logger,
+                          val_batches=val_batches)
             for strat in strategies:
                 m.strategy = strat
                 a = deepcopy(a0); a.fusion_strategy = strat
@@ -93,7 +101,8 @@ def run_benchmark(args, detector, method, ind_batches, logger) -> None:
         prior_mode = CUSTOM_HYP.BENCHMARK_MODE
         CUSTOM_HYP.BENCHMARK_MODE = True
         try:
-            configure_ind(args, detector, method, ind_batches, logger)
+            configure_ind(args, detector, method, ind_batches, logger,
+                          val_batches=val_batches)
             for combo in itertools.product(*grid_spec.values()):
                 for k, v in zip(keys, combo):
                     set_by_dotted_path(CUSTOM_HYP, k, v)

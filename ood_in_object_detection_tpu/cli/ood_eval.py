@@ -172,19 +172,56 @@ def load_dataset(args, path_or_name: str, split: str, owod_task: str) -> Detecti
         tasks_dir=args.owod_tasks_dir or None)
 
 
-def configure_ind(args, detector, method, batches, logger) -> None:
-    """InD pipeline with disk caching (reference
-    execute_pipeline_for_in_distribution_configuration, ood_evaluation.py:398)."""
-    paths = cache_paths(args, method)
-    if args.load_ind_activations and paths["activations"].exists():
-        acts = pickle.loads(paths["activations"].read_bytes())
-        logger.info("loaded InD activations from %s", paths["activations"])
+def _load_or_extract(args, detector, method, batches, cache_file, logger):
+    if args.load_ind_activations and cache_file.exists():
+        acts = pickle.loads(cache_file.read_bytes())
+        logger.info("loaded InD activations from %s", cache_file)
     else:
         t0 = time.perf_counter()
         acts = extract_ind_activations(detector, batches, method, args.conf_thr_train,
                                        mesh=getattr(args, "mesh_obj", None))
         logger.info("extracted InD activations in %.1fs", time.perf_counter() - t0)
-        paths["activations"].write_bytes(pickle.dumps({k: v for k, v in acts.items()}))
+        cache_file.write_bytes(pickle.dumps({k: v for k, v in acts.items()}))
+    return acts
+
+
+def _concat_acts(a, b):
+    """Per-leaf concat of train+val activations (reference
+    concat_arrays_inside_list_of_lists, ood_evaluation.py:599-640)."""
+    def cat(x, y):
+        if isinstance(x, list):
+            return [cat(xi, yi) for xi, yi in zip(x, y)]
+        xe, ye = x.shape[0] == 0, y.shape[0] == 0
+        if ye:
+            return x
+        if xe:
+            return y
+        return np.concatenate([x, y], axis=0)
+
+    return {k: cat(a[k], b[k]) for k in a}
+
+
+def configure_ind(args, detector, method, batches, logger,
+                  val_batches=None) -> None:
+    """InD pipeline with disk caching (reference
+    execute_pipeline_for_in_distribution_configuration, ood_evaluation.py:398).
+
+    which_split semantics follow the reference exactly: clusters are ALWAYS
+    fitted from the train-split activations (ood_evaluation.py:521-527), but
+    the scores the thresholds are percentiled from come from the selected
+    split — 'val' uses the val activations alone, 'train_val' concatenates
+    both (ood_evaluation.py:540-562)."""
+    paths = cache_paths(args, method)
+    acts = _load_or_extract(args, detector, method, batches,
+                            paths["activations"], logger)
+    acts_val = None
+    if args.which_split in ("val", "train_val"):
+        assert val_batches is not None, \
+            f"which_split={args.which_split} needs val batches"
+        val_file = paths["activations"].with_name(
+            paths["activations"].name.replace(".pkl", "_val.pkl"))
+        acts_val = _load_or_extract(args, detector, method, val_batches,
+                                    val_file, logger)
     # re-key by position (pickle loses object ids across processes)
     from ..ood.methods import DistanceOODMethod
     from ..ood.pipeline import _leaf_methods, assign_fitted_state
@@ -192,6 +229,14 @@ def configure_ind(args, detector, method, batches, logger) -> None:
     leaves = _leaf_methods(method)
     if set(acts.keys()) != {id(m) for m in leaves}:
         acts = {id(m): v for m, v in zip(leaves, acts.values())}
+    if acts_val is not None and set(acts_val.keys()) != {id(m) for m in leaves}:
+        acts_val = {id(m): v for m, v in zip(leaves, acts_val.values())}
+    if args.which_split == "val":
+        score_acts = acts_val
+    elif args.which_split == "train_val":
+        score_acts = _concat_acts(acts, acts_val)
+    else:
+        score_acts = acts
 
     # cached clusters (reference load_clusters, ood_evaluation.py:443-545):
     # restore fitted centroids and skip the grid search
@@ -204,8 +249,8 @@ def configure_ind(args, detector, method, batches, logger) -> None:
 
     for m in leaves:
         if isinstance(m, DistanceOODMethod) and not (clusters_loaded and m.clusters):
-            m.generate_clusters(acts[id(m)])
-        scores = m.compute_scores_from_activations(acts[id(m)])
+            m.generate_clusters(acts[id(m)])  # clusters: train split always
+        scores = m.compute_scores_from_activations(score_acts[id(m)])
         m.generate_thresholds(scores, args.tpr_thr)
 
     # cached thresholds override the refit values (reference load_thresholds)
@@ -230,6 +275,13 @@ def configure_ind(args, detector, method, batches, logger) -> None:
             "use_values_before_sigmoid", "which_internal_activations",
             "ind_info_creation_option", "tpr_thr", "conf_thr_train")
         if hasattr(args, k)}))
+
+
+def build_val_batches(args) -> list:
+    """Val-split InD batches for the which_split threshold-score selection
+    (reference dataloader_val, ood_evaluation.py:714-720)."""
+    val = load_dataset(args, args.ind_dataset, "val", args.owod_task_ind)
+    return list(PaddedBatcher(val, args.batch_size, args.img_size))
 
 
 def run_eval(args, detector, method, logger) -> List[Dict]:
@@ -306,17 +358,18 @@ def main(argv=None) -> None:
                 m.which_internal_activations = args.which_internal_activations
 
     ind_batches = list(PaddedBatcher(ind, args.batch_size, args.img_size))
-    if args.which_split == "train_val":
-        val = load_dataset(args, args.ind_dataset, "val", args.owod_task_ind)
-        ind_batches += list(PaddedBatcher(val, args.batch_size, args.img_size))
+    val_batches = build_val_batches(args) \
+        if args.which_split in ("val", "train_val") else None
 
     if args.benchmark:
         from .benchmarks import run_benchmark
 
-        run_benchmark(args, detector, method, ind_batches, logger)
+        run_benchmark(args, detector, method, ind_batches, logger,
+                      val_batches=val_batches)
         return
 
-    configure_ind(args, detector, method, ind_batches, logger)
+    configure_ind(args, detector, method, ind_batches, logger,
+                  val_batches=val_batches)
     if args.export_bundle:
         from ..utils.export import export_serving_bundle
 

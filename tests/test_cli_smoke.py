@@ -56,11 +56,11 @@ def test_exact_pos_distance_cli_end_to_end(tiny_yaml, tmp_path, monkeypatch):
     seen = {}
     orig = ood_eval.configure_ind
 
-    def spy(args, detector, method, batches, logger):
+    def spy(args, detector, method, batches, logger, **kw):
         from ood_in_object_detection_tpu.ood.pipeline import _leaf_methods
 
         seen["taps"] = [m.which_internal_activations for m in _leaf_methods(method)]
-        return orig(args, detector, method, batches, logger)
+        return orig(args, detector, method, batches, logger, **kw)
 
     monkeypatch.setattr(ood_eval, "configure_ind", spy)
     ood_eval.main([

@@ -130,7 +130,8 @@ class _SilentLogger:
         return lambda *a, **kw: None
 
 
-def _run_reference(shared, method_name, strategy, eul=False):
+def _run_reference(shared, method_name, strategy, eul=False,
+                   which_split="train"):
     """The reference's own main() composition (ood_evaluation.py:662-846):
     method factory -> configure extra output -> InD pipeline -> run_eval.
     With ``eul`` the reference's EUL driver runs inside its own metric loop
@@ -151,7 +152,7 @@ def _run_reference(shared, method_name, strategy, eul=False):
                                     else "roi_aligned_ftmaps"),
         enhanced_unk_localization=eul,
         conf_thr_train=CONF_TRAIN, conf_thr_test=CONF_TEST,
-        use_values_before_sigmoid=True, tpr_thr=0.95, which_split="train",
+        use_values_before_sigmoid=True, tpr_thr=0.95, which_split=which_split,
         load_thresholds=False, load_clusters=False,
         # the reference's FRESH fusion extraction crashes on its own
         # signature mismatch (ood_utils.py:2871); its executable route loads
@@ -205,7 +206,8 @@ def _run_reference(shared, method_name, strategy, eul=False):
     return method.thresholds, metrics, captured, props_cap
 
 
-def _run_ours(shared, method_name, strategy, tag, eul=False, extra_cli=()):
+def _run_ours(shared, method_name, strategy, tag, eul=False, extra_cli=(),
+              which_split="train"):
     from ood_in_object_detection_tpu import constants as C
     from ood_in_object_detection_tpu.cli import ood_eval as oe_cli
     from ood_in_object_detection_tpu.ood import pipeline as pl
@@ -246,8 +248,8 @@ def _run_ours(shared, method_name, strategy, tag, eul=False, extra_cli=()):
         metrics_cap.update(m)
         return m
 
-    def cfg_spy(args, detector, method, batches, logger):
-        orig_cfg(args, detector, method, batches, logger)
+    def cfg_spy(args, detector, method, batches, logger, **kw):
+        orig_cfg(args, detector, method, batches, logger, **kw)
         fitted["method"] = method
 
     pl._decisions_for_method = dec_spy
@@ -265,6 +267,7 @@ def _run_ours(shared, method_name, strategy, tag, eul=False, extra_cli=()):
             "--conf_thr_test", str(CONF_TEST),
             "--fusion_strategy", strategy,
             "--img_size", str(SIZE), "--batch_size", "2", "--name", tag,
+            "--which_split", which_split,
         ] + (["--enhanced_unk_localization", "--which_internal_activations",
               "ftmaps_and_strides"] if eul else []) + list(extra_cli))
     finally:
@@ -480,3 +483,38 @@ def test_bf16_flag_reaches_jitted_step_dtype(shared):
     out = det.predict(np.zeros((1, SIZE, SIZE, 3), np.uint8))
     assert out.neck[0].dtype == jnp.bfloat16
     assert out.det.boxes.dtype == jnp.float32  # boxes decode back to f32
+
+
+def test_cli_composition_parity_which_split_train_val(shared):
+    """which_split='train_val' composition: the reference extracts val-split
+    activations too, fits clusters from TRAIN only, and percentiles the
+    thresholds from the concatenated train+val scores
+    (ood_evaluation.py:484-490, :521-527, concat :540-562). Our configure_ind
+    mirrors that split exactly (clusters<-train, scores<-selected split);
+    thresholds must differ from a train-only fit AND match the reference's.
+    """
+    from ood_in_object_detection_tpu.cli import ood_eval as oe_cli
+
+    ref_out = _run_reference(shared, "L2_cl_stride", "score",
+                             which_split="train_val")
+    n = {"x": 0}
+    orig = oe_cli.extract_ind_activations
+
+    def cex(*a, **kw):
+        n["x"] += 1
+        return orig(*a, **kw)
+
+    oe_cli.extract_ind_activations = cex
+    try:
+        our_out = _run_ours(shared, "L2_cl_stride", "score", "tvsplit",
+                            which_split="train_val")
+    finally:
+        oe_cli.extract_ind_activations = orig
+    _assert_parity(ref_out, our_out, "L2_cl_stride+train_val")
+    # the val split WAS extracted (train + val = 2 extraction passes); note
+    # the reference's percentile(method='lower') picks a discrete order
+    # statistic, so the handful of extra val scores on this fixture lands on
+    # the SAME threshold value (observed: class1 8->9 samples, same thr) —
+    # both frameworks agree on that discrete behavior, which is the parity
+    # being pinned here
+    assert n["x"] == 2
