@@ -173,3 +173,69 @@ def test_data_parallel_eval_matches_single_device(tiny_dataset, detector):
     for k in res1:
         np.testing.assert_allclose(res8[k], res1[k], rtol=1e-5, atol=1e-7,
                                    err_msg=k)
+
+
+def test_data_parallel_eul_eval_matches_single_device(tiny_dataset, detector):
+    """Sharded EUL eval exact-match (VERDICT r4 #8): evaluate_method with
+    enhanced_unk_localization=True over the 8-device DP mesh must produce
+    the SAME unknown proposals per image and the same metrics as the
+    single-device run — the EUL device front-end (saliency + thresholds on
+    the stride-8 neck map, ood/unknown_device.py) runs inside the sharded
+    predict step, the host CC/rank tail is per-image and device-agnostic."""
+    from ood_in_object_detection_tpu.ood import pipeline as pl
+    from ood_in_object_detection_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=8, model=1)
+    single = list(PaddedBatcher(tiny_dataset, batch_size=4, img_size=96, max_gt=8))
+    sharded = list(PaddedBatcher(tiny_dataset, batch_size=8, img_size=96, max_gt=8))
+    kw = dict(known_classes=[0, 1], class_names=["c0", "c1", "unknown"],
+              conf_thr_test=1e-9, enhanced_unk_localization=True)
+
+    def run(batches, mesh=None):
+        m = DistanceOODMethod.from_name("L2_cl_stride", cluster_method="one")
+        m.which_internal_activations = "ftmaps_and_strides"
+        acts = extract_ind_activations(detector, batches, m,
+                                       conf_thr_train=1e-9, mesh=mesh)
+        fit_ind_pipeline(m, acts, tpr=0.95)
+        props_cap = []
+        orig = pl.unknown_proposals_for_image
+
+        def spy(*a, **kw2):
+            r = orig(*a, **kw2)
+            p = r[0] if isinstance(r, tuple) else r
+            props_cap.append(np.asarray(p, np.float64).reshape(-1, 4))
+            return r
+
+        pl.unknown_proposals_for_image = spy
+        try:
+            res = evaluate_method(detector, batches, m, mesh=mesh, **kw)
+        finally:
+            pl.unknown_proposals_for_image = orig
+        return m, res, props_cap
+
+    m1, res1, props1 = run(single)
+    m8, res8, props8 = run(sharded, mesh=mesh)
+
+    # fit state identical (same images; sharded batch is padded to 8 but the
+    # batch_mask keeps padding images out of the extraction)
+    np.testing.assert_allclose(
+        np.asarray(
+            [[t if t is not None and not (isinstance(t, list) and not t)
+              else np.nan for t in row] for row in m8.thresholds], np.float64),
+        np.asarray(
+            [[t if t is not None and not (isinstance(t, list) and not t)
+              else np.nan for t in row] for row in m1.thresholds], np.float64),
+        rtol=1e-5, atol=1e-7)
+    # EUL proposals per real image: identical boxes
+    assert len(props1) == len(props8) == 4
+    total = 0
+    for i, (p1, p8) in enumerate(zip(props1, props8)):
+        assert p1.shape == p8.shape, f"img {i}"
+        np.testing.assert_allclose(p8, p1, rtol=1e-5, atol=1e-4,
+                                   err_msg=f"img {i}: proposals")
+        total += len(p1)
+    assert total > 0, "EUL produced no proposals anywhere — vacuous"
+    assert set(res1) == set(res8)
+    for k in res1:
+        np.testing.assert_allclose(res8[k], res1[k], rtol=1e-5, atol=1e-7,
+                                   err_msg=k)
