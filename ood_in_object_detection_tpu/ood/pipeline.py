@@ -373,7 +373,15 @@ def evaluate_method(
     ``visualize_dir``, the first batches are rendered with OoD verdicts
     (reference iterate_data_to_plot_with_ood_labels, ood_utils.py:349-427).
     ``overlap=False`` disables the one-deep launch/consume pipeline (serial
-    per-batch execution) — measurement control for PERF.md."""
+    per-batch execution) — measurement control for PERF.md.
+
+    HBM note (ADVICE r4): ``overlap=True`` keeps TWO PredictOutputs —
+    including all three neck maps — live on device at once, roughly
+    doubling the eval loop's activation watermark. At v8n@640 that is
+    ~0.5 GB extra (fine on a 16 GB chip); at flagship scales near the
+    documented batch ceiling (PERF.md flagship sweep), drop the batch size
+    one notch or pass ``overlap=False`` if the allocator reports pressure.
+    """
     logger = logger or log
     neck_ch = detector.neck_channels()
     step = _predict_step(detector, conf_thr_test, mesh)

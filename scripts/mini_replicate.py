@@ -28,7 +28,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
 
 
-def make_synthetic_batches(rng, n_batches, bs=4, size=64, nc=2, unknowns=False):
+def make_synthetic_batches(rng, n_batches, bs=4, size=64, nc=2, unknowns=False,
+                           unk_p=0.5):
     """Learnable synthetic detection data: solid-color boxes on gray noise.
     class 0 = red box, class 1 = green box; 'unknown' = blue box (class 80)."""
     batches = []
@@ -44,7 +45,7 @@ def make_synthetic_batches(rng, n_batches, bs=4, size=64, nc=2, unknowns=False):
                 y1 = rng.integers(2, size - h - 2)
                 cls = int(rng.integers(0, nc))
                 color = {0: (0.95, 0.1, 0.1), 1: (0.1, 0.9, 0.15)}[cls]
-                if unknowns and j == 1 and rng.random() < 0.5:
+                if unknowns and j == 1 and rng.random() < unk_p:
                     color, cls = (0.1, 0.2, 0.95), 80
                 imgs[i, y1:y1 + h, x1:x1 + w] = color
                 gtb[i, j] = [x1, y1, x1 + w, y1 + h]
@@ -90,7 +91,9 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     nc = 2
     train_batches = make_synthetic_batches(rng, args.steps)
-    eval_batches = make_synthetic_batches(rng, 6, unknowns=True)
+    # >=50 unknown GT boxes so U-REC/U-AP are statistically bandable
+    # (VERDICT r4 #7; was 6 batches / ~14 unknowns "reported not banded")
+    eval_batches = make_synthetic_batches(rng, 14, unknowns=True, unk_p=1.0)
 
     # same init on both sides — and the SAME init across runs: the reference
     # DetectionModel's weight init draws from torch's global RNG, which is
@@ -295,10 +298,13 @@ def main(argv=None):
         f"mean thresholds diverged: {thr_o} vs {thr_t}"
     assert abs(res_o.get("mAP", 0) - res_t.get("mAP", 0)) < 0.2, \
         f"mAP: {res_o.get('mAP')} vs {res_t.get('mAP')}"
-    # U-* metrics count ~14 unknown GT boxes against MSP-on-2-classes models
-    # trained 320 steps — legitimate values here span 0..0.7 run-to-run, so
-    # they are REPORTED (PARITY.md) rather than banded; assert only that the
-    # unknown protocol produced non-vacuous output on at least one side
+    # U-* bands (VERDICT r4 #7): with >=50 unknown GT boxes the estimates are
+    # statistically stable, and measured across seeds 0/1 the between-SEED
+    # spread (torch U-REC 0.71 -> 0.04) dwarfs the within-seed between-
+    # FRAMEWORK gap (<=0.27): unknown recall is a property of the training
+    # trajectory, not the framework. Band: per method row both frameworks
+    # sit within 0.30 U-REC / 0.02 U-AP of each other (seed-0 worst case
+    # 0.27 / 0.010; seed-1 0.036 / 0.0002 — PARITY.md table).
     assert any(res_o.get(k, 0) or res_t.get(k, 0)
                for k in ("U-AP", "U-REC", "A-OSE")), \
         f"unknown-protocol outputs vacuous: {res_o} vs {res_t}"
@@ -313,6 +319,10 @@ def main(argv=None):
         assert all(np.isfinite(to_)) and all(np.isfinite(tt_)), tag
         assert abs(ro_.get("mAP", 0) - rt_.get("mAP", 0)) < 0.25, \
             f"{tag}: mAP diverged {ro_.get('mAP')} vs {rt_.get('mAP')}"
+        assert abs(ro_.get("U-REC", 0) - rt_.get("U-REC", 0)) <= 0.30, \
+            f"{tag}: U-REC out of band {ro_.get('U-REC')} vs {rt_.get('U-REC')}"
+        assert abs(ro_.get("U-AP", 0) - rt_.get("U-AP", 0)) <= 0.02, \
+            f"{tag}: U-AP out of band {ro_.get('U-AP')} vs {rt_.get('U-AP')}"
     # EUL actually adds unknown proposals on at least one side
     eul_u = (mat_o["L2_one_EUL"][1].get("U-REC", 0)
              + mat_t["L2_one_EUL"][1].get("U-REC", 0))
