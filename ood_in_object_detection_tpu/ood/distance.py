@@ -135,3 +135,27 @@ def distances_to_all_class_centroids_stride0(
     d_all = jax.vmap(per_class)(cents, cnt)  # (nc, N)
     d_all = jnp.where((cnt > 0)[:, None], d_all, jnp.inf)
     return d_all.T
+
+
+def l2_normalize_rows_np(a):
+    """NumPy mirror of l2_normalize_rows for host-side tails."""
+    a = np.asarray(a, np.float32)
+    n = np.sqrt((a * a).sum(-1, keepdims=True))
+    return a / np.maximum(n, 1e-12)
+
+
+def pairwise_distance_np(a, b, metric: str):
+    """NumPy mirror of pairwise_distance — used by per-image host tails
+    (EUL proposal ranking) where a device dispatch through the tunnel costs
+    more than the whole computation."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    if metric in ("l1", "manhattan"):
+        return np.abs(a[:, None, :] - b[None, :, :]).sum(-1)
+    if metric in ("l2", "euclidean"):
+        d2 = ((a * a).sum(-1)[:, None] + (b * b).sum(-1)[None, :]
+              - 2.0 * a @ b.T)
+        return np.sqrt(np.clip(d2, 0.0, None))
+    if metric == "cosine":
+        return 1.0 - l2_normalize_rows_np(a) @ l2_normalize_rows_np(b).T
+    raise ValueError(f"unknown metric {metric}")

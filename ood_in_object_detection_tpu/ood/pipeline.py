@@ -526,20 +526,33 @@ def evaluate_method(
 def _make_rank_fn(dm: DistanceOODMethod, p3_img: np.ndarray):
     """Rank proposals by reduced distance to all class centroids at stride 0
     (reference ood_utils.py:1036-1092). Proposals arrive in padded-ftmap
-    coordinates; roi-align them 1x1 against the padded stride-8 map."""
-    from ..ops.roi_align import roi_align_1x1_single_level
+    coordinates; roi-align them 1x1 against the padded stride-8 map.
+
+    Runs ENTIRELY on the host in NumPy: the proposal count varies per image,
+    so the previous jnp path paid a recompile per distinct count plus ~25 ms
+    tunnel latency per dispatch (neck-map upload, per-class distance calls)
+    — ~0.5 s/image for microseconds of arithmetic (r5 EUL-e2e post-mortem,
+    PERF.md)."""
+    from ..ops.roi_align import roi_align_1x1_single_level_np
+    from .distance import l2_normalize_rows_np, pairwise_distance_np
     from .unknown import rank_distances
 
+    p3_host = np.asarray(p3_img, np.float32)
+
     def fn(props_ftmap: np.ndarray) -> np.ndarray:
-        feats = np.asarray(roi_align_1x1_single_level(
-            jnp.asarray(p3_img), jnp.asarray(props_ftmap, jnp.float32), 1.0))
+        feats = roi_align_1x1_single_level_np(
+            p3_host, np.asarray(props_ftmap, np.float32), 1.0)
         rows, row_cls = [], []
         for c in range(len(dm.clusters)):
             cl = dm.clusters[c][0]
             if isinstance(cl, np.ndarray) and cl.ndim == 2 and cl.size:
-                tf = dm.transform(feats, c, 0)
-                d = np.asarray(pairwise_distance(
-                    jnp.asarray(cl, jnp.float32), jnp.asarray(tf), dm.metric))
+                if dm.transform_fn is not None:
+                    tf = np.asarray(dm.transform(feats, c, 0))
+                else:
+                    tf = l2_normalize_rows_np(
+                        feats.reshape(len(feats), -1))
+                d = pairwise_distance_np(
+                    np.asarray(cl, np.float32), tf, dm.metric)
                 rows.append(d.min(axis=0))
                 row_cls.append(c)
         if not rows:

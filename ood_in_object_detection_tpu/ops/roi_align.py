@@ -343,3 +343,44 @@ def batched_roi_align_1x1(
         out = v if out is None else jnp.where(
             (level_idx == li)[..., None], v, out)
     return out
+
+
+def roi_align_1x1_single_level_np(fmap, boxes_xyxy, spatial_scale: float,
+                                  samples: int = 4):
+    """Pure-NumPy mirror of ``roi_align_1x1_single_level`` (fixed-grid
+    branch): (H, W, C) fmap + (N, 4) boxes -> (N, C).
+
+    Exists for HOST-side tails over a handful of boxes — the per-image EUL
+    proposal ranking (ood/pipeline.py:_make_rank_fn) ran this through the
+    device, which through the axon tunnel costs ~25 ms per dispatch plus a
+    recompile for every distinct proposal count; a few 1x1 bilinear taps on
+    an (80, 80, C) map are microseconds in NumPy. Equality vs the jnp
+    version is pinned in tests/test_roi_align.py."""
+    import numpy as np
+
+    fmap = np.asarray(fmap, np.float32)
+    b = np.asarray(boxes_xyxy, np.float32) * np.float32(spatial_scale)
+    if len(b) == 0:
+        return np.zeros((0, fmap.shape[-1]), np.float32)
+    h, w, _ = fmap.shape
+    x1, y1 = b[:, 0], b[:, 1]
+    bw = np.maximum(b[:, 2] - x1, 1.0)
+    bh = np.maximum(b[:, 3] - y1, 1.0)
+    t = ((np.arange(samples, dtype=np.float32) + 0.5) / samples)
+    gx = x1[:, None] + t[None, :] * bw[:, None]          # (N, S)
+    gy = y1[:, None] + t[None, :] * bh[:, None]          # (N, S)
+    xs = np.clip(gx[:, None, :], 0.0, w - 1.0)           # (N, 1, S) -> bcast
+    ys = np.clip(gy[:, :, None], 0.0, h - 1.0)           # (N, S, 1)
+    xs, ys = np.broadcast_arrays(xs, ys)
+    x0 = np.floor(xs); y0 = np.floor(ys)
+    dx = (xs - x0).astype(np.float32)[..., None]
+    dy = (ys - y0).astype(np.float32)[..., None]
+    x0i = np.clip(x0.astype(np.int32), 0, w - 1)
+    x1i = np.clip(x0i + 1, 0, w - 1)
+    y0i = np.clip(y0.astype(np.int32), 0, h - 1)
+    y1i = np.clip(y0i + 1, 0, h - 1)
+    v00 = fmap[y0i, x0i]; v01 = fmap[y0i, x1i]
+    v10 = fmap[y1i, x0i]; v11 = fmap[y1i, x1i]
+    vals = (v00 * (1 - dx) * (1 - dy) + v01 * dx * (1 - dy)
+            + v10 * (1 - dx) * dy + v11 * dx * dy)       # (N, S, S, C)
+    return vals.mean(axis=(1, 2))

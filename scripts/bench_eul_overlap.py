@@ -24,7 +24,13 @@ def main():
     from ood_in_object_detection_tpu.ood.methods import DistanceOODMethod
     from ood_in_object_detection_tpu.ood.pipeline import evaluate_method
 
-    BATCH, IMG, NC = bench.BATCH, bench.IMG, bench.NC
+    # SLIM config (r5): batch 128 x 8 batches x 3 reps never finished
+    # through the ~25 ms/dispatch tunnel (>10 min; same failure mode as the
+    # r4 bench_distance_eul_e2e timeout). The overlap delta is a PIPELINE
+    # property, not a peak number — batch 32 x 6 batches measures it in
+    # ~2 min and matches bench.py's slim EUL config.
+    IMG, NC = bench.IMG, bench.NC
+    BATCH = 32
     det = Detector.create("yolov8n", nc=NC, img_size=IMG, dtype=jnp.bfloat16)
     dims = det.neck_channels()
     rng = np.random.default_rng(0)
@@ -53,15 +59,20 @@ def main():
     kw = dict(known_classes=list(range(NC)),
               class_names=[f"c{i}" for i in range(NC)] + ["unknown"],
               conf_thr_test=0.25, enhanced_unk_localization=True)
+    print("compile-warm start", flush=True)
+    t0 = time.perf_counter()
     evaluate_method(det, make_batches(1), method, **kw)  # compile warm
+    print(f"compile-warm {time.perf_counter()-t0:.1f}s", flush=True)
     out = {}
     for tag, ov in (("overlap", True), ("serial", False)):
         best = float("inf")
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.perf_counter()
-            evaluate_method(det, make_batches(8), method, overlap=ov, **kw)
-            best = min(best, time.perf_counter() - t0)
-        out[tag] = round(8 * BATCH / best, 1)
+            evaluate_method(det, make_batches(6), method, overlap=ov, **kw)
+            dt = time.perf_counter() - t0
+            print(f"{tag} rep {dt:.2f}s", flush=True)
+            best = min(best, dt)
+        out[tag] = round(6 * BATCH / best, 1)
         print(json.dumps({"variant": tag, "img_per_sec": out[tag]}), flush=True)
     print(json.dumps({"overlap_speedup": round(out["overlap"] / out["serial"], 4)}))
 

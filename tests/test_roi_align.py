@@ -92,3 +92,41 @@ def test_exact_pos_matches_padded_concat():
     ref = jnp.take_along_axis(jnp.concatenate(flats, axis=1),
                               aidx[..., None], axis=1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+
+
+def test_roi_align_np_mirror_matches_jnp():
+    """roi_align_1x1_single_level_np (the host-side EUL rank tail) is
+    bit-compatible with the jnp fixed-grid path on CPU."""
+    import numpy as np
+
+    from ood_in_object_detection_tpu.ops.roi_align import (
+        roi_align_1x1_single_level, roi_align_1x1_single_level_np)
+
+    rng = np.random.default_rng(0)
+    fmap = rng.normal(size=(40, 40, 17)).astype(np.float32)
+    boxes = np.stack([
+        rng.uniform(0, 30, 8), rng.uniform(0, 30, 8),
+        rng.uniform(31, 40, 8), rng.uniform(31, 40, 8)], axis=1
+    ).astype(np.float32)
+    a = np.asarray(roi_align_1x1_single_level(fmap, boxes, 0.5, samples=4))
+    b = roi_align_1x1_single_level_np(fmap, boxes, 0.5, samples=4)
+    np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-6)
+    # empty proposal set: (0, C) not an error
+    assert roi_align_1x1_single_level_np(fmap, np.zeros((0, 4)), 1.0).shape \
+        == (0, 17)
+
+
+def test_pairwise_distance_np_mirror():
+    import numpy as np
+
+    from ood_in_object_detection_tpu.ood.distance import (
+        pairwise_distance, pairwise_distance_np)
+
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(5, 12)).astype(np.float32)
+    b = rng.normal(size=(3, 12)).astype(np.float32)
+    for metric in ("l1", "l2", "cosine"):
+        np.testing.assert_allclose(
+            pairwise_distance_np(a, b, metric),
+            np.asarray(pairwise_distance(a, b, metric)),
+            rtol=1e-5, atol=1e-6, err_msg=metric)
