@@ -23,6 +23,7 @@ from __future__ import annotations
 import logging
 import os
 import time
+from functools import partial
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -431,6 +432,12 @@ def evaluate_method(
         dmethods = [m for m in _leaf_methods(method) if isinstance(m, DistanceOODMethod)]
         assert dmethods, "EUL requires a distance method (needs clusters)"
         dm = dmethods[0]
+        # device proposal ranking (one small fixed-shape dispatch per image
+        # against the P3 map already in HBM) — the host then never fetches a
+        # feature map, the EUL loop's dominant wire cost (PERF.md r5 EUL
+        # post-mortem). None => host-NumPy rank fn on a fetched P3 (custom
+        # transform_fn, no stride-0 clusters, or dim mismatch).
+        rank_bank = _stride0_rank_bank(dm, neck_ch[0])
 
     def _launch(batch_idx, batch):
         """Device dispatch only — nothing here blocks on device results
@@ -460,9 +467,28 @@ def evaluate_method(
         confs = _np(out.det.conf)
         cls = _np(out.det.cls)
         valid = _np(out.det.valid)
-        # P3 is ~100 MB/batch; only pull it to host when EUL needs it
-        p3 = _np(out.p3) if enhanced_unk_localization else None
         eul_fe = eul_frontend_finish(eul_disp) if eul_disp is not None else None
+        # Fetch P3 to the host ONLY when something there still needs its
+        # DATA: the host summarizer/thresholder (no device front-end) or the
+        # host rank fn (no device bank). With both device paths available
+        # the ~50 MB/batch map never crosses the wire — through a slow link
+        # that fetch dwarfs everything else in the loop (PERF.md r5 EUL
+        # post-mortem; the reference hands the full map to the host
+        # unconditionally, ood_utils.py:641-898).
+        p3 = None
+        p3_dev = None
+        if enhanced_unk_localization:
+            rank_needed = (CUSTOM_HYP.unk.RANK_BOXES
+                           and CUSTOM_HYP.unk.USE_HEURISTICS)
+            # device rank only when the map is ALREADY device-resident
+            # (slim-cache batches hold a host np map — ranking those on
+            # device would add a 50 MB H2D upload instead of removing one)
+            use_dev_rank = (eul_fe is not None and rank_bank is not None
+                            and rank_needed and isinstance(out.p3, jax.Array))
+            if use_dev_rank:
+                p3_dev = out.p3
+            if eul_fe is None or (rank_needed and not use_dev_rank):
+                p3 = _np(out.p3)
         bmask = batch.get("batch_mask", np.ones(len(boxes), bool))
         for i in range(len(boxes)):
             if not bmask[i]:
@@ -483,12 +509,20 @@ def evaluate_method(
                     cls_thr = np.nan_to_num(np.asarray(
                         pack_thresholds_per_class_per_stride(dm.thresholds)
                     )[:, 0], nan=np.inf)  # stride 0; unfit class = no gate
+                if p3 is not None:
+                    rank_fn = _make_rank_fn(dm, p3[i])
+                elif p3_dev is not None:
+                    rank_fn = _make_rank_fn_device(dm, p3_dev, i, rank_bank)
+                else:
+                    rank_fn = None  # ranking disabled by config
                 props, _, ranks = unknown_proposals_for_image(
-                    p3[i], batch["ratio_pad"][i], b,
-                    rank_score_fn=_make_rank_fn(dm, p3[i]),
+                    p3[i] if p3 is not None else None,
+                    batch["ratio_pad"][i], b,
+                    rank_score_fn=rank_fn,
                     unk_prop_thr=getattr(dm, "unk_prop_thr", None),
                     class_thresholds=cls_thr,
                     precomputed=eul_fe[i] if eul_fe is not None else None,
+                    padded_hw=tuple(out.p3.shape[1:3]),
                 )
                 if len(props):
                     b = np.concatenate([b, props.astype(np.float64)])
@@ -523,19 +557,34 @@ def evaluate_method(
                            list(known_classes), logger)
 
 
+def _rank_from_matrix(mat: np.ndarray, row_cls: np.ndarray):
+    """Shared tail of the host/device rank fns: reduce the (n_valid_classes,
+    n_props) min-distance matrix per the configured rank op (reference
+    ood_utils.py:1056-1092)."""
+    from .unknown import rank_distances
+
+    op = CUSTOM_HYP.unk.rank.RANK_BOXES_OPERATION
+    if op == "min" and CUSTOM_HYP.unk.rank.USE_OOD_THR_TO_REMOVE_PROPS:
+        # 'min' with the per-closest-class gate: raw min distance (no
+        # x100 compensation) + the closest class id
+        # (reference ood_utils.py:1064-1070)
+        closest = np.asarray(row_cls)[mat.argmin(axis=0)]
+        return mat.min(axis=0), closest
+    return rank_distances(mat, op)
+
+
 def _make_rank_fn(dm: DistanceOODMethod, p3_img: np.ndarray):
     """Rank proposals by reduced distance to all class centroids at stride 0
     (reference ood_utils.py:1036-1092). Proposals arrive in padded-ftmap
     coordinates; roi-align them 1x1 against the padded stride-8 map.
 
-    Runs ENTIRELY on the host in NumPy: the proposal count varies per image,
-    so the previous jnp path paid a recompile per distinct count plus ~25 ms
-    tunnel latency per dispatch (neck-map upload, per-class distance calls)
-    — ~0.5 s/image for microseconds of arithmetic (r5 EUL-e2e post-mortem,
-    PERF.md)."""
+    HOST (NumPy) variant, for feature maps already on the host (offline
+    extraction, caches, transform_fn methods): a handful of 1x1 bilinear
+    taps is microseconds in NumPy. The eval loop prefers the device variant
+    (``_make_rank_fn_device``) so the neck map never crosses the wire
+    (PERF.md r5 EUL post-mortem)."""
     from ..ops.roi_align import roi_align_1x1_single_level_np
     from .distance import l2_normalize_rows_np, pairwise_distance_np
-    from .unknown import rank_distances
 
     p3_host = np.asarray(p3_img, np.float32)
 
@@ -557,15 +606,85 @@ def _make_rank_fn(dm: DistanceOODMethod, p3_img: np.ndarray):
                 row_cls.append(c)
         if not rows:
             return np.zeros(len(props_ftmap), np.float32)
-        mat = np.stack(rows)
-        op = CUSTOM_HYP.unk.rank.RANK_BOXES_OPERATION
-        if op == "min" and CUSTOM_HYP.unk.rank.USE_OOD_THR_TO_REMOVE_PROPS:
-            # 'min' with the per-closest-class gate: raw min distance (no
-            # x100 compensation) + the closest class id
-            # (reference ood_utils.py:1064-1070)
-            closest = np.asarray(row_cls)[mat.argmin(axis=0)]
-            return mat.min(axis=0), closest
-        return rank_distances(mat, op)
+        return _rank_from_matrix(np.stack(rows), np.asarray(row_cls))
+
+    return fn
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def _rank_matrix_device(p3_batch, img_idx, props, cents0, cnt0, *, metric):
+    """(cap, nc) min-distance of each padded proposal's 1x1 RoI feature to
+    every class's stride-0 centroids — the device half of the EUL rank fn.
+    Same formulas as the host path (roi_align_1x1 + flatten/L2-normalize +
+    pairwise distance + min over centroids); inf where a class has no
+    stride-0 cluster."""
+    from ..ops.roi_align import roi_align_1x1_single_level
+    from .distance import (CentroidBank,
+                           distances_to_all_class_centroids_stride0,
+                           l2_normalize_rows)
+
+    feats = roi_align_1x1_single_level(p3_batch[img_idx], props, 1.0)
+    tf = l2_normalize_rows(feats.reshape(feats.shape[0], -1))
+    bank = CentroidBank(cents0, cnt0)
+    return distances_to_all_class_centroids_stride0(tf, bank, metric)
+
+
+def _stride0_rank_bank(dm: DistanceOODMethod, p3_channels: int):
+    """Padded stride-0 centroid bank + valid-class ids for the device rank
+    fn, or None when the method's stride-0 clusters can't feed it (no valid
+    clusters, a custom transform_fn, or a feature dim that isn't the raw P3
+    channel count)."""
+    from .distance import PAIRWISE_METRICS, build_centroid_bank
+
+    if dm.transform_fn is not None or dm.metric not in PAIRWISE_METRICS:
+        return None
+    rows = [c for c in range(len(dm.clusters))
+            if isinstance(dm.clusters[c][0], np.ndarray)
+            and dm.clusters[c][0].ndim == 2 and dm.clusters[c][0].size]
+    if not rows:
+        return None
+    d0 = dm.clusters[rows[0]][0].shape[1]
+    if d0 != p3_channels or any(dm.clusters[c][0].shape[1] != d0 for c in rows):
+        return None
+    bank = build_centroid_bank([[dm.clusters[c][0]] for c in range(len(dm.clusters))],
+                               d0, num_strides=1)
+    return bank, np.asarray(rows)
+
+
+_RANK_PAD_BUCKETS = (16, 64, 256, 1024)
+
+
+def _make_rank_fn_device(dm: DistanceOODMethod, p3_batch_dev, img_idx: int,
+                         bank_rows):
+    """DEVICE variant of ``_make_rank_fn``: ranks proposals against the neck
+    map that is ALREADY in device HBM, so the eval loop never fetches a
+    feature map to the host (at 640 px that fetch is 1.6 MB/image — the
+    dominant wire cost of the EUL loop; r4's e2e bench timed out on exactly
+    that D2H, PERF.md r5 EUL post-mortem). One fixed-shape jitted call per
+    image: proposals are padded to a small bucket (compile once per bucket),
+    the (cap, nc) distance matrix comes back (a few KB), and the rank-op
+    reduction runs on the host exactly like the NumPy path."""
+    bank, row_cls = bank_rows
+
+    def fn(props_ftmap: np.ndarray):
+        n = len(props_ftmap)
+        if n == 0:
+            return np.zeros(0, np.float32)
+        mats = []
+        cap_max = _RANK_PAD_BUCKETS[-1]
+        for start in range(0, n, cap_max):
+            chunk = np.asarray(props_ftmap[start:start + cap_max], np.float32)
+            m = len(chunk)
+            cap = next(b for b in _RANK_PAD_BUCKETS if b >= m)
+            padded = np.zeros((cap, 4), np.float32)
+            padded[:m] = chunk
+            mat = np.asarray(_rank_matrix_device(
+                p3_batch_dev, jnp.int32(img_idx), jnp.asarray(padded),
+                bank.centroids, bank.count, metric=dm.metric),
+                np.float32)[:m]
+            mats.append(mat)
+        mat = np.concatenate(mats).T[row_cls]  # (n_valid_classes, n)
+        return _rank_from_matrix(mat, row_cls)
 
     return fn
 

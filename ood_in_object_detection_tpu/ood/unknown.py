@@ -340,7 +340,7 @@ def postprocess_unk_proposals(
     """
     hyp = hyp or CUSTOM_HYP.unk
     h, w = unpadded_hw
-    kept, ranks, closests = [], [], []
+    kept = []
     for idx_thr, props in enumerate(boxes_per_thr):
         if len(props) == 0:
             continue
@@ -373,13 +373,6 @@ def postprocess_unk_proposals(
         if len(props) == 0:
             continue
         kept.append(props)
-        if hyp.RANK_BOXES and rank_score_fn is not None:
-            r = rank_score_fn(props)
-            if isinstance(r, tuple):
-                ranks.append(r[0])
-                closests.append(r[1])
-            else:
-                ranks.append(r)
 
     if not kept:
         empty = np.empty((0, 4), np.float32)
@@ -389,8 +382,19 @@ def postprocess_unk_proposals(
     if not (hyp.USE_HEURISTICS and hyp.RANK_BOXES):
         return all_props, None
 
-    all_ranks = np.concatenate(ranks) if ranks else np.empty(0, np.float32)
-    all_closest = np.concatenate(closests) if closests else None
+    # rank scores are per-box (independent of the threshold group a box came
+    # from), so ONE rank_score_fn call over the concatenated survivors is
+    # exactly equivalent to the reference's per-threshold-group calls
+    # (ood_utils.py:1036-1092) — and it lets a device-backed rank fn pay a
+    # single fixed-shape dispatch per image instead of one per threshold.
+    all_ranks = np.empty(0, np.float32)
+    all_closest = None
+    if rank_score_fn is not None and len(all_props):
+        r = rank_score_fn(all_props)
+        if isinstance(r, tuple):
+            all_ranks, all_closest = np.asarray(r[0]), np.asarray(r[1])
+        else:
+            all_ranks = np.asarray(r)
     if hyp.rank.MAX_NUM_UNK_BOXES_PER_IMAGE > 0 and len(all_ranks) > 0:
         if hyp.rank.NMS > 0:
             score = all_ranks if hyp.rank.GET_BOXES_WITH_GREATER_RANK else -all_ranks
@@ -501,7 +505,12 @@ def eul_frontend_finish(
 
 
 def unknown_proposals_for_image(
-    p3_feat: np.ndarray,          # (H, W, C) padded stride-8 neck feature map
+    p3_feat: Optional[np.ndarray],  # (H, W, C) padded stride-8 neck map, or
+                                    # None when `precomputed` + `padded_hw`
+                                    # are given (the feature map never left
+                                    # the device; the D2H fetch of a full
+                                    # neck map is the EUL loop's dominant
+                                    # wire cost — PERF.md r5 EUL post-mortem)
     ratio_pad,                    # ((r, r), (dw, dh)) from letterbox
     pred_boxes_xyxy: np.ndarray,  # (n, 4) predictions in image pixels
     rank_score_fn: Optional[Callable] = None,
@@ -509,6 +518,7 @@ def unknown_proposals_for_image(
     unk_prop_thr: Optional[float] = None,
     class_thresholds: Optional[np.ndarray] = None,
     precomputed: Optional[Tuple[np.ndarray, List[float]]] = None,
+    padded_hw: Optional[Tuple[int, int]] = None,
 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """Full EUL pass for one image -> (proposals xyxy in image pixels,
     decisions (all 0 = unknown), rank scores or None).
@@ -520,14 +530,24 @@ def unknown_proposals_for_image(
     ``precomputed``: (cropped saliency, thresholds) from the batched device
     front-end (``eul_frontend_batched``) — skips the host summarizer and
     thresholding, the two stages profiling shows dominate the host cost.
+    With ``precomputed`` the map DATA is only needed by the rank fn, so a
+    device-backed ``rank_score_fn`` lets callers pass ``p3_feat=None`` plus
+    ``padded_hw=(H, W)``.
     """
     hyp = hyp or CUSTOM_HYP.unk
     stride = STRIDES_RATIO[0]
     (_, _), (dw, dh) = ratio_pad
     px = int(dw / stride)
     py = int(dh / stride)
-    H, W = p3_feat.shape[:2]
-    unpadded = p3_feat[py : H - py, px : W - px]
+    if p3_feat is None:
+        assert precomputed is not None and padded_hw is not None, \
+            "p3_feat=None requires precomputed masks and padded_hw"
+        H, W = padded_hw
+        unpadded_shape = (H - 2 * py, W - 2 * px)
+    else:
+        H, W = p3_feat.shape[:2]
+        unpadded = p3_feat[py : H - py, px : W - px]
+        unpadded_shape = unpadded.shape[:2]
 
     if precomputed is not None:
         sal_or_masks, thresholds = precomputed
@@ -544,7 +564,7 @@ def unknown_proposals_for_image(
     props, ranks = postprocess_unk_proposals(
         boxes_per_thr,
         (px, py),
-        unpadded.shape[:2],
+        unpadded_shape,
         pred_boxes_xyxy / stride,
         rank_score_fn=rank_score_fn,
         hyp=hyp,

@@ -350,12 +350,13 @@ def roi_align_1x1_single_level_np(fmap, boxes_xyxy, spatial_scale: float,
     """Pure-NumPy mirror of ``roi_align_1x1_single_level`` (fixed-grid
     branch): (H, W, C) fmap + (N, 4) boxes -> (N, C).
 
-    Exists for HOST-side tails over a handful of boxes — the per-image EUL
-    proposal ranking (ood/pipeline.py:_make_rank_fn) ran this through the
-    device, which through the axon tunnel costs ~25 ms per dispatch plus a
-    recompile for every distinct proposal count; a few 1x1 bilinear taps on
-    an (80, 80, C) map are microseconds in NumPy. Equality vs the jnp
-    version is pinned in tests/test_roi_align.py."""
+    Exists for HOST-side tails over a handful of boxes when the feature map
+    already lives on the host (offline extraction, slim-cache batches,
+    transform_fn methods): a few 1x1 bilinear taps on an (80, 80, C) map are
+    microseconds in NumPy. When the map is device-resident the eval loop
+    uses the fixed-shape jnp path instead (ood/pipeline.py
+    _rank_matrix_device) so the map never crosses the wire. Equality vs the
+    jnp version is pinned in tests/test_roi_align.py."""
     import numpy as np
 
     fmap = np.asarray(fmap, np.float32)

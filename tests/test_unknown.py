@@ -330,3 +330,82 @@ def test_multi_otsu_dp_matches_exhaustive(rng):
         np.testing.assert_allclose(multi_threshold_otsu(img, nc, nb),
                                    exhaustive(img, nc, nb),
                                    err_msg=f"classes={nc} bins={nb}")
+
+
+def test_device_rank_fn_matches_host_rank_fn(rng):
+    """_make_rank_fn_device (ranks proposals against the DEVICE-resident P3
+    map; ood/pipeline.py) must agree with the host-NumPy _make_rank_fn for
+    every rank op, including the ('min', closest-class) tuple path — the
+    eval loop switches between them based on where the map lives, so they
+    must be interchangeable. (The device path exists so the EUL loop never
+    fetches a neck feature map to the host: PERF.md r5 EUL post-mortem.)"""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from ood_in_object_detection_tpu.core.config import CUSTOM_HYP
+    from ood_in_object_detection_tpu.ood.methods import DistanceOODMethod
+    from ood_in_object_detection_tpu.ood.pipeline import (
+        _make_rank_fn, _make_rank_fn_device, _stride0_rank_bank)
+
+    H = W = 16
+    C = 8
+    NC = 3
+    p3 = rng.normal(0, 1.0, (2, H, W, C)).astype(np.float32)
+    dm = DistanceOODMethod.from_name("Cosine_cl_stride", cluster_method="all")
+    clusters = []
+    for c in range(NC):
+        row = [np.empty(0)] * 3
+        if c != 1:  # class 1 has no stride-0 cluster (inf row filtered)
+            cl = rng.normal(size=(2 + c, C)).astype(np.float32)
+            row[0] = cl / np.linalg.norm(cl, axis=-1, keepdims=True)
+        clusters.append(row)
+    dm.clusters = clusters
+
+    bank_rows = _stride0_rank_bank(dm, C)
+    assert bank_rows is not None
+    props = np.array([[1.0, 1.0, 5.0, 7.0],
+                      [3.0, 2.0, 12.0, 9.0],
+                      [0.0, 0.0, 15.0, 15.0]], np.float32)
+
+    for img in range(2):
+        host_fn = _make_rank_fn(dm, p3[img])
+        dev_fn = _make_rank_fn_device(dm, jnp.asarray(p3), img, bank_rows)
+        for op, gate in (("mean", False), ("min", True), ("min", False),
+                         ("max", False), ("entropy", False)):
+            unk = dataclasses.replace(
+                CUSTOM_HYP.unk,
+                rank=dataclasses.replace(CUSTOM_HYP.unk.rank,
+                                         RANK_BOXES_OPERATION=op,
+                                         USE_OOD_THR_TO_REMOVE_PROPS=gate))
+            old = CUSTOM_HYP.unk
+            CUSTOM_HYP.unk = unk
+            try:
+                rh = host_fn(props)
+                rd = dev_fn(props)
+            finally:
+                CUSTOM_HYP.unk = old
+            if isinstance(rh, tuple):
+                assert isinstance(rd, tuple)
+                np.testing.assert_allclose(rd[0], rh[0], rtol=1e-5, atol=1e-6)
+                np.testing.assert_array_equal(rd[1], rh[1])
+            else:
+                np.testing.assert_allclose(rd, rh, rtol=1e-5, atol=1e-6)
+        # empty proposals: both return an empty score vector
+        assert len(dev_fn(np.empty((0, 4), np.float32))) == 0
+
+
+def test_stride0_rank_bank_gates():
+    """The device rank bank refuses methods it can't represent (custom
+    transform_fn, dim mismatch, no stride-0 clusters) so the eval loop
+    falls back to the host path instead of mis-ranking."""
+    from ood_in_object_detection_tpu.ood.methods import DistanceOODMethod
+    from ood_in_object_detection_tpu.ood.pipeline import _stride0_rank_bank
+
+    dm = DistanceOODMethod.from_name("L2_cl_stride", cluster_method="one")
+    dm.clusters = [[np.empty(0)] * 3]
+    assert _stride0_rank_bank(dm, 8) is None  # no stride-0 clusters
+    dm.clusters = [[np.ones((2, 4), np.float32), np.empty(0), np.empty(0)]]
+    assert _stride0_rank_bank(dm, 8) is None  # dim != p3 channels
+    assert _stride0_rank_bank(dm, 4) is not None
+    dm.transform_fn = lambda a, c, s: a
+    assert _stride0_rank_bank(dm, 4) is None  # custom transform
