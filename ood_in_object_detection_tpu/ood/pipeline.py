@@ -477,6 +477,7 @@ def evaluate_method(
         # unconditionally, ood_utils.py:641-898).
         p3 = None
         p3_dev = None
+        eul_batch = None
         if enhanced_unk_localization:
             rank_needed = (CUSTOM_HYP.unk.RANK_BOXES
                            and CUSTOM_HYP.unk.USE_HEURISTICS)
@@ -485,10 +486,28 @@ def evaluate_method(
             # device would add a 50 MB H2D upload instead of removing one)
             use_dev_rank = (eul_fe is not None and rank_bank is not None
                             and rank_needed and isinstance(out.p3, jax.Array))
-            if use_dev_rank:
-                p3_dev = out.p3
             if eul_fe is None or (rank_needed and not use_dev_rank):
                 p3 = _np(out.p3)
+            cls_thr = None
+            if (CUSTOM_HYP.unk.rank.USE_OOD_THR_TO_REMOVE_PROPS
+                    and dm.thresholds is not None):
+                from .thresholds import pack_thresholds_per_class_per_stride
+
+                cls_thr = np.nan_to_num(np.asarray(
+                    pack_thresholds_per_class_per_stride(dm.thresholds)
+                )[:, 0], nan=np.inf)  # stride 0; unfit class = no gate
+            if use_dev_rank:
+                # host CC for every image FIRST, then ONE batched device
+                # rank dispatch for the whole batch (two small transfers
+                # per batch instead of two per image — the tunnel/PCIe
+                # round-trip latency, not the arithmetic, is the cost)
+                bmask0 = batch.get("batch_mask", np.ones(len(boxes), bool))
+                pred_by_img = {
+                    i: boxes[i, : int(valid[i].sum())].astype(np.float64)
+                    for i in range(len(boxes)) if bmask0[i]}
+                eul_batch = _eul_proposals_batch(
+                    dm, rank_bank, out.p3, tuple(out.p3.shape[1:3]),
+                    eul_fe, batch["ratio_pad"], pred_by_img, cls_thr)
         bmask = batch.get("batch_mask", np.ones(len(boxes), bool))
         for i in range(len(boxes)):
             if not bmask[i]:
@@ -501,29 +520,19 @@ def evaluate_method(
             c = np.where(dec == 0, float(UNKNOWN_CLASS_INDEX), c)
 
             if enhanced_unk_localization:
-                cls_thr = None
-                if (CUSTOM_HYP.unk.rank.USE_OOD_THR_TO_REMOVE_PROPS
-                        and dm.thresholds is not None):
-                    from .thresholds import pack_thresholds_per_class_per_stride
-
-                    cls_thr = np.nan_to_num(np.asarray(
-                        pack_thresholds_per_class_per_stride(dm.thresholds)
-                    )[:, 0], nan=np.inf)  # stride 0; unfit class = no gate
-                if p3 is not None:
-                    rank_fn = _make_rank_fn(dm, p3[i])
-                elif p3_dev is not None:
-                    rank_fn = _make_rank_fn_device(dm, p3_dev, i, rank_bank)
+                if eul_batch is not None:
+                    props, _, ranks = eul_batch[i]
                 else:
-                    rank_fn = None  # ranking disabled by config
-                props, _, ranks = unknown_proposals_for_image(
-                    p3[i] if p3 is not None else None,
-                    batch["ratio_pad"][i], b,
-                    rank_score_fn=rank_fn,
-                    unk_prop_thr=getattr(dm, "unk_prop_thr", None),
-                    class_thresholds=cls_thr,
-                    precomputed=eul_fe[i] if eul_fe is not None else None,
-                    padded_hw=tuple(out.p3.shape[1:3]),
-                )
+                    props, _, ranks = unknown_proposals_for_image(
+                        p3[i] if p3 is not None else None,
+                        batch["ratio_pad"][i], b,
+                        rank_score_fn=(_make_rank_fn(dm, p3[i])
+                                       if p3 is not None else None),
+                        unk_prop_thr=getattr(dm, "unk_prop_thr", None),
+                        class_thresholds=cls_thr,
+                        precomputed=eul_fe[i] if eul_fe is not None else None,
+                        padded_hw=tuple(out.p3.shape[1:3]),
+                    )
                 if len(props):
                     b = np.concatenate([b, props.astype(np.float64)])
                     c = np.concatenate([c, np.full(len(props), float(UNKNOWN_CLASS_INDEX))])
@@ -612,6 +621,28 @@ def _make_rank_fn(dm: DistanceOODMethod, p3_img: np.ndarray):
 
 
 @partial(jax.jit, static_argnames=("metric",))
+def _rank_matrix_device_batched(p3_batch, props, cents0, cnt0, *, metric):
+    """(B, cap, nc) min-distances for a WHOLE batch of padded proposals in
+    one dispatch — the eval loop's EUL rank path: two tunnel/PCIe round
+    trips per BATCH (props up, matrix down) instead of two per image.
+    vmap of the single-image math; rows beyond each image's real proposal
+    count are garbage the host slices off."""
+    from ..ops.roi_align import roi_align_1x1_single_level
+    from .distance import (CentroidBank,
+                           distances_to_all_class_centroids_stride0,
+                           l2_normalize_rows)
+
+    bank = CentroidBank(cents0, cnt0)
+
+    def one(p3_img, pr):
+        feats = roi_align_1x1_single_level(p3_img, pr, 1.0)
+        tf = l2_normalize_rows(feats.reshape(feats.shape[0], -1))
+        return distances_to_all_class_centroids_stride0(tf, bank, metric)
+
+    return jax.vmap(one)(p3_batch, props)
+
+
+@partial(jax.jit, static_argnames=("metric",))
 def _rank_matrix_device(p3_batch, img_idx, props, cents0, cnt0, *, metric):
     """(cap, nc) min-distance of each padded proposal's 1x1 RoI feature to
     every class's stride-0 centroids — the device half of the EUL rank fn.
@@ -687,6 +718,52 @@ def _make_rank_fn_device(dm: DistanceOODMethod, p3_batch_dev, img_idx: int,
         return _rank_from_matrix(mat, row_cls)
 
     return fn
+
+
+def _eul_proposals_batch(dm, rank_bank, p3_dev, padded_hw, eul_fe,
+                         ratio_pads, pred_boxes_by_img, cls_thr):
+    """Batch-level EUL with device ranking: host CC candidates for every
+    image, ONE batched rank dispatch against the device-resident P3, then
+    per-image selection. Returns {img_idx: (props_img, decisions, ranks)} —
+    identical per image to ``unknown_proposals_for_image`` with the
+    per-image device rank fn, but with two small transfers per BATCH instead
+    of two per image (PERF.md r5 EUL post-mortem: round-trip latency, not
+    arithmetic, dominates the loop's tail)."""
+    from .unknown import finish_unknown_proposals, unknown_candidates_for_image
+
+    bank, row_cls = rank_bank
+    cand = {
+        i: unknown_candidates_for_image(None, ratio_pads[i], pb,
+                                        precomputed=eul_fe[i],
+                                        padded_hw=padded_hw)
+        for i, pb in pred_boxes_by_img.items()}
+    nmax = max((len(c) for c in cand.values()), default=0)
+    rank_results = {}
+    if nmax > 0:
+        if nmax <= _RANK_PAD_BUCKETS[-1]:
+            cap = next(b for b in _RANK_PAD_BUCKETS if b >= nmax)
+            props_pad = np.zeros((p3_dev.shape[0], cap, 4), np.float32)
+            for i, c in cand.items():
+                props_pad[i, : len(c)] = c
+            mats = np.asarray(_rank_matrix_device_batched(
+                p3_dev, jnp.asarray(props_pad), bank.centroids, bank.count,
+                metric=dm.metric), np.float32)
+            for i, c in cand.items():
+                if len(c):
+                    rank_results[i] = _rank_from_matrix(
+                        mats[i, : len(c)].T[row_cls], row_cls)
+        else:
+            # a >1024-candidate image in the batch: per-image chunked calls
+            for i, c in cand.items():
+                if len(c):
+                    rank_results[i] = _make_rank_fn_device(
+                        dm, p3_dev, i, rank_bank)(c)
+    return {
+        i: finish_unknown_proposals(
+            c, rank_results.get(i),
+            unk_prop_thr=getattr(dm, "unk_prop_thr", None),
+            class_thresholds=cls_thr)
+        for i, c in cand.items()}
 
 
 def collect_fusion_member_indness(

@@ -317,27 +317,20 @@ def rank_distances(dist_matrix: np.ndarray, op: str) -> np.ndarray:
     raise NotImplementedError(op)
 
 
-def postprocess_unk_proposals(
+def collect_unk_candidates(
     boxes_per_thr: List[np.ndarray],
     padding_xy: Tuple[int, int],
     unpadded_hw: Tuple[int, int],
     pred_boxes_ftmap: np.ndarray,
-    rank_score_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
     hyp: Optional[UnkEnhancementParams] = None,
-    unk_prop_thr: Optional[float] = None,
-    class_thresholds: Optional[np.ndarray] = None,
-) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-    """Heuristics + ranking + NMS + top-K over raw per-threshold proposals
-    (reference postprocess_unk_bboxes ood_utils.py:934-1174).
-
-    rank_score_fn: maps padded-ftmap-space proposals (n,4) to a rank score per
-    proposal (lower = more unknown with default GET_BOXES_WITH_GREATER_RANK
-    False); typically distance-to-centroid reductions — supplied by the
-    distance method to keep this module method-agnostic. May return a tuple
-    (scores, closest_class_ids) for the USE_OOD_THR_TO_REMOVE_PROPS 'min'
-    path (ood_utils.py:1064-1070,1141-1152): proposals are then gated by the
-    per-closest-class distance threshold (``class_thresholds``, stride 0).
-    """
+) -> np.ndarray:
+    """First half of ``postprocess_unk_proposals``: per-threshold heuristics
+    + concatenation -> candidate proposals (n, 4) in padded-ftmap coords
+    (reference postprocess_unk_bboxes ood_utils.py:934-1034). Split out so a
+    batch-level caller can collect every image's candidates FIRST, rank the
+    whole batch in one device call, and finish with
+    ``select_unk_proposals`` — one round trip per batch instead of one per
+    image."""
     hyp = hyp or CUSTOM_HYP.unk
     h, w = unpadded_hw
     kept = []
@@ -375,26 +368,36 @@ def postprocess_unk_proposals(
         kept.append(props)
 
     if not kept:
+        return np.empty((0, 4), np.float32)
+    return np.concatenate(kept, axis=0).astype(np.float32)
+
+
+def select_unk_proposals(
+    all_props: np.ndarray,
+    rank_result,  # None | (n,) scores | ((n,) scores, (n,) closest ids)
+    hyp: Optional[UnkEnhancementParams] = None,
+    unk_prop_thr: Optional[float] = None,
+    class_thresholds: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Second half of ``postprocess_unk_proposals``: rank-ordering/NMS,
+    threshold gates, top-K (reference ood_utils.py:1036-1174) over already-
+    collected candidates with already-computed rank scores."""
+    hyp = hyp or CUSTOM_HYP.unk
+    if len(all_props) == 0:
         empty = np.empty((0, 4), np.float32)
         return (empty, np.empty(0, np.float32)) if (hyp.USE_HEURISTICS and hyp.RANK_BOXES) else (empty, None)
-    all_props = np.concatenate(kept, axis=0).astype(np.float32)
 
     if not (hyp.USE_HEURISTICS and hyp.RANK_BOXES):
         return all_props, None
 
-    # rank scores are per-box (independent of the threshold group a box came
-    # from), so ONE rank_score_fn call over the concatenated survivors is
-    # exactly equivalent to the reference's per-threshold-group calls
-    # (ood_utils.py:1036-1092) — and it lets a device-backed rank fn pay a
-    # single fixed-shape dispatch per image instead of one per threshold.
     all_ranks = np.empty(0, np.float32)
     all_closest = None
-    if rank_score_fn is not None and len(all_props):
-        r = rank_score_fn(all_props)
-        if isinstance(r, tuple):
-            all_ranks, all_closest = np.asarray(r[0]), np.asarray(r[1])
+    if rank_result is not None:
+        if isinstance(rank_result, tuple):
+            all_ranks, all_closest = (np.asarray(rank_result[0]),
+                                      np.asarray(rank_result[1]))
         else:
-            all_ranks = np.asarray(r)
+            all_ranks = np.asarray(rank_result)
     if hyp.rank.MAX_NUM_UNK_BOXES_PER_IMAGE > 0 and len(all_ranks) > 0:
         if hyp.rank.NMS > 0:
             score = all_ranks if hyp.rank.GET_BOXES_WITH_GREATER_RANK else -all_ranks
@@ -425,6 +428,42 @@ def postprocess_unk_proposals(
         k = hyp.rank.MAX_NUM_UNK_BOXES_PER_IMAGE
         all_props, all_ranks = all_props[:k], all_ranks[:k]
     return all_props, all_ranks
+
+
+def postprocess_unk_proposals(
+    boxes_per_thr: List[np.ndarray],
+    padding_xy: Tuple[int, int],
+    unpadded_hw: Tuple[int, int],
+    pred_boxes_ftmap: np.ndarray,
+    rank_score_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    hyp: Optional[UnkEnhancementParams] = None,
+    unk_prop_thr: Optional[float] = None,
+    class_thresholds: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Heuristics + ranking + NMS + top-K over raw per-threshold proposals
+    (reference postprocess_unk_bboxes ood_utils.py:934-1174) =
+    ``collect_unk_candidates`` + one rank call + ``select_unk_proposals``.
+
+    rank_score_fn: maps padded-ftmap-space proposals (n,4) to a rank score per
+    proposal (lower = more unknown with default GET_BOXES_WITH_GREATER_RANK
+    False); typically distance-to-centroid reductions — supplied by the
+    distance method to keep this module method-agnostic. May return a tuple
+    (scores, closest_class_ids) for the USE_OOD_THR_TO_REMOVE_PROPS 'min'
+    path (ood_utils.py:1064-1070,1141-1152): proposals are then gated by the
+    per-closest-class distance threshold (``class_thresholds``, stride 0).
+    Rank scores are per-box (independent of the threshold group a box came
+    from), so ONE call over the concatenated survivors is exactly equivalent
+    to the reference's per-threshold-group calls (ood_utils.py:1036-1092)."""
+    hyp = hyp or CUSTOM_HYP.unk
+    all_props = collect_unk_candidates(boxes_per_thr, padding_xy, unpadded_hw,
+                                       pred_boxes_ftmap, hyp)
+    rank_result = None
+    if (hyp.USE_HEURISTICS and hyp.RANK_BOXES and rank_score_fn is not None
+            and len(all_props)):
+        rank_result = rank_score_fn(all_props)
+    return select_unk_proposals(all_props, rank_result, hyp,
+                                unk_prop_thr=unk_prop_thr,
+                                class_thresholds=class_thresholds)
 
 
 def eul_frontend_dispatch(
@@ -535,6 +574,32 @@ def unknown_proposals_for_image(
     ``padded_hw=(H, W)``.
     """
     hyp = hyp or CUSTOM_HYP.unk
+    all_props = unknown_candidates_for_image(
+        p3_feat, ratio_pad, pred_boxes_xyxy, hyp=hyp,
+        precomputed=precomputed, padded_hw=padded_hw)
+    rank_result = None
+    if (hyp.USE_HEURISTICS and hyp.RANK_BOXES and rank_score_fn is not None
+            and len(all_props)):
+        rank_result = rank_score_fn(all_props)
+    return finish_unknown_proposals(all_props, rank_result, hyp=hyp,
+                                    unk_prop_thr=unk_prop_thr,
+                                    class_thresholds=class_thresholds)
+
+
+def unknown_candidates_for_image(
+    p3_feat: Optional[np.ndarray],
+    ratio_pad,
+    pred_boxes_xyxy: np.ndarray,
+    hyp: Optional[UnkEnhancementParams] = None,
+    precomputed: Optional[Tuple[np.ndarray, List[float]]] = None,
+    padded_hw: Optional[Tuple[int, int]] = None,
+) -> np.ndarray:
+    """Candidate half of ``unknown_proposals_for_image``: saliency (or the
+    device front-end's precomputed masks) -> CC boxes -> heuristics ->
+    candidates (n, 4) in PADDED-FTMAP coords. A batch-level caller collects
+    these for every image, ranks the whole batch in one device call, then
+    calls ``finish_unknown_proposals`` per image."""
+    hyp = hyp or CUSTOM_HYP.unk
     stride = STRIDES_RATIO[0]
     (_, _), (dw, dh) = ratio_pad
     px = int(dw / stride)
@@ -561,16 +626,25 @@ def unknown_proposals_for_image(
         thresholds = thr_fn(saliency)
         boxes_per_thr = extract_boxes_from_saliency(saliency, thresholds)
 
-    props, ranks = postprocess_unk_proposals(
-        boxes_per_thr,
-        (px, py),
-        unpadded_shape,
-        pred_boxes_xyxy / stride,
-        rank_score_fn=rank_score_fn,
-        hyp=hyp,
-        unk_prop_thr=unk_prop_thr,
-        class_thresholds=class_thresholds,
-    )
+    return collect_unk_candidates(boxes_per_thr, (px, py), unpadded_shape,
+                                  pred_boxes_xyxy / stride, hyp)
+
+
+def finish_unknown_proposals(
+    all_props: np.ndarray,
+    rank_result,
+    hyp: Optional[UnkEnhancementParams] = None,
+    unk_prop_thr: Optional[float] = None,
+    class_thresholds: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Selection half of ``unknown_proposals_for_image``: rank-order/NMS/
+    gates/top-K over candidates (+ their rank scores), then scale back to
+    image pixels (reference ood_utils.py:1036-1174, 898-932)."""
+    hyp = hyp or CUSTOM_HYP.unk
+    stride = STRIDES_RATIO[0]
+    props, ranks = select_unk_proposals(all_props, rank_result, hyp,
+                                        unk_prop_thr=unk_prop_thr,
+                                        class_thresholds=class_thresholds)
     props_img = props * stride
     decisions = np.zeros(len(props_img), int)  # all proposals are unknown (ref :926-932)
     return props_img, decisions, ranks

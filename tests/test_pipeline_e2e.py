@@ -198,7 +198,10 @@ def test_data_parallel_eul_eval_matches_single_device(tiny_dataset, detector):
                                        conf_thr_train=1e-9, mesh=mesh)
         fit_ind_pipeline(m, acts, tpr=0.95)
         props_cap = []
-        orig = pl.unknown_proposals_for_image
+        # finish_unknown_proposals is the funnel BOTH EUL rank paths share
+        # (per-image host rank and the batched device rank)
+        from ood_in_object_detection_tpu.ood import unknown as unk_mod
+        orig = unk_mod.finish_unknown_proposals
 
         def spy(*a, **kw2):
             r = orig(*a, **kw2)
@@ -206,11 +209,11 @@ def test_data_parallel_eul_eval_matches_single_device(tiny_dataset, detector):
             props_cap.append(np.asarray(p, np.float64).reshape(-1, 4))
             return r
 
-        pl.unknown_proposals_for_image = spy
+        unk_mod.finish_unknown_proposals = spy
         try:
             res = evaluate_method(detector, batches, m, mesh=mesh, **kw)
         finally:
-            pl.unknown_proposals_for_image = orig
+            unk_mod.finish_unknown_proposals = orig
         return m, res, props_cap
 
     m1, res1, props1 = run(single)

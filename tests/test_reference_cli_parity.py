@@ -223,7 +223,11 @@ def _run_ours(shared, method_name, strategy, tag, eul=False, extra_cli=(),
     orig_dec = pl._decisions_for_method
     orig_eval = pl.evaluate_method
     orig_cfg = oe_cli.configure_ind
-    orig_unk = pl.unknown_proposals_for_image
+    # spy on finish_unknown_proposals: BOTH EUL rank paths (per-image
+    # host rank and the batched device rank, ood/pipeline.py) funnel
+    # through it, so the capture is path-independent
+    from ood_in_object_detection_tpu.ood import unknown as unk_mod
+    orig_unk = unk_mod.finish_unknown_proposals
 
     def unk_spy(*a, **kw):
         r = orig_unk(*a, **kw)
@@ -256,7 +260,7 @@ def _run_ours(shared, method_name, strategy, tag, eul=False, extra_cli=(),
     pl.evaluate_method = eval_spy
     oe_cli.evaluate_method = eval_spy
     oe_cli.configure_ind = cfg_spy
-    pl.unknown_proposals_for_image = unk_spy
+    unk_mod.finish_unknown_proposals = unk_spy
     try:
         oe_cli.main([
             "--ood_method", method_name, "--model", "n",
@@ -275,7 +279,7 @@ def _run_ours(shared, method_name, strategy, tag, eul=False, extra_cli=(),
         pl.evaluate_method = orig_eval
         oe_cli.evaluate_method = orig_eval
         oe_cli.configure_ind = orig_cfg
-        pl.unknown_proposals_for_image = orig_unk
+        unk_mod.finish_unknown_proposals = orig_unk
         C.RESULTS_PATH, C.STORAGE_PATH = res_path, sto_path
 
     m = fitted["method"]
