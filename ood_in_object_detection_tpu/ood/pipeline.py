@@ -642,6 +642,45 @@ def _rank_matrix_device_batched(p3_batch, props, cents0, cnt0, *, metric):
     return jax.vmap(one)(p3_batch, props)
 
 
+# rank ops with a device-side reduction (same formulas as rank_distances /
+# _rank_from_matrix; geometric_mean = exp(mean(log)), entropy = scipy's
+# normalize-then-Shannon with 0*log0 := 0)
+_DEVICE_RANK_OPS = ("min", "mean", "max", "sum", "geometric_mean", "entropy")
+
+
+@partial(jax.jit, static_argnames=("metric", "op", "gated"))
+def _rank_reduce_device_batched(p3_batch, props, cents0, cnt0, rows, *,
+                                metric, op, gated):
+    """Device-reduced EUL rank for a whole batch: the (B, cap, nc) distance
+    matrix never leaves HBM — only the (B, cap) rank scores (plus closest
+    class ids on the gated-'min' path) cross the wire. At batch 32 that is
+    a 10 MB -> 0.3 MB D2H cut; through a slow host link the matrix fetch
+    was the EUL loop's second-largest wire cost (PERF.md r5 EUL e2e
+    post-mortem). Reductions mirror ``_rank_from_matrix`` exactly:
+    reference ood_utils.py:1056-1092."""
+    mats = _rank_matrix_device_batched.__wrapped__(
+        p3_batch, props, cents0, cnt0, metric=metric)  # (B, cap, nc)
+    sub = mats[:, :, rows]  # (B, cap, n_valid_classes)
+    if gated and op == "min":
+        # raw min distance (no x100) + closest valid-class id
+        # (reference ood_utils.py:1064-1070)
+        return sub.min(-1), rows[sub.argmin(-1)]
+    if op == "min":
+        return sub.min(-1) * 100  # reference compensation (:1078)
+    if op == "mean":
+        return sub.mean(-1)
+    if op == "max":
+        return sub.max(-1)
+    if op == "sum":
+        return sub.sum(-1)
+    if op == "geometric_mean":
+        return jnp.exp(jnp.mean(jnp.log(sub), -1))
+    if op == "entropy":
+        p = sub / sub.sum(-1, keepdims=True)
+        return -jnp.where(p > 0, p * jnp.log(p), 0.0).sum(-1)
+    raise NotImplementedError(op)
+
+
 @partial(jax.jit, static_argnames=("metric",))
 def _rank_matrix_device(p3_batch, img_idx, props, cents0, cnt0, *, metric):
     """(cap, nc) min-distance of each padded proposal's 1x1 RoI feature to
@@ -745,13 +784,35 @@ def _eul_proposals_batch(dm, rank_bank, p3_dev, padded_hw, eul_fe,
             props_pad = np.zeros((p3_dev.shape[0], cap, 4), np.float32)
             for i, c in cand.items():
                 props_pad[i, : len(c)] = c
-            mats = np.asarray(_rank_matrix_device_batched(
-                p3_dev, jnp.asarray(props_pad), bank.centroids, bank.count,
-                metric=dm.metric), np.float32)
-            for i, c in cand.items():
-                if len(c):
-                    rank_results[i] = _rank_from_matrix(
-                        mats[i, : len(c)].T[row_cls], row_cls)
+            op = CUSTOM_HYP.unk.rank.RANK_BOXES_OPERATION
+            gated = bool(CUSTOM_HYP.unk.rank.USE_OOD_THR_TO_REMOVE_PROPS)
+            if op in _DEVICE_RANK_OPS:
+                # reduce ON DEVICE: only (B, cap) scores come back, not the
+                # (B, cap, nc) matrix (~30x less D2H at nc=80)
+                red = _rank_reduce_device_batched(
+                    p3_dev, jnp.asarray(props_pad), bank.centroids,
+                    bank.count, jnp.asarray(row_cls), metric=dm.metric,
+                    op=op, gated=gated)
+                if gated and op == "min":
+                    scores, closest = (np.asarray(red[0], np.float32),
+                                       np.asarray(red[1]))
+                    for i, c in cand.items():
+                        if len(c):
+                            rank_results[i] = (scores[i, : len(c)],
+                                               closest[i, : len(c)])
+                else:
+                    scores = np.asarray(red, np.float32)
+                    for i, c in cand.items():
+                        if len(c):
+                            rank_results[i] = scores[i, : len(c)]
+            else:
+                mats = np.asarray(_rank_matrix_device_batched(
+                    p3_dev, jnp.asarray(props_pad), bank.centroids,
+                    bank.count, metric=dm.metric), np.float32)
+                for i, c in cand.items():
+                    if len(c):
+                        rank_results[i] = _rank_from_matrix(
+                            mats[i, : len(c)].T[row_cls], row_cls)
         else:
             # a >1024-candidate image in the batch: per-image chunked calls
             for i, c in cand.items():

@@ -43,8 +43,13 @@ def main():
 
     import jax
 
-    imgs = np.asarray(jax.random.uniform(
+    # device-resident feed, matching bench_distance_eul_e2e: through this
+    # environment's ~8 MB/s tunnel a host-NumPy batch costs ~20 s of H2D per
+    # step call, drowning the overlap delta in wire time (PERF.md r5 EUL e2e
+    # post-mortem). Overlap is a device-compute-vs-host-CC property.
+    imgs = jax.device_put(jax.random.uniform(
         jax.random.PRNGKey(7), (BATCH, IMG, IMG, 3), jnp.float32))
+    imgs.block_until_ready()
 
     def make_batches(n):
         return [dict(images=imgs, im_names=[f"b{k}_{i}" for i in range(BATCH)],

@@ -394,6 +394,74 @@ def test_device_rank_fn_matches_host_rank_fn(rng):
         assert len(dev_fn(np.empty((0, 4), np.float32))) == 0
 
 
+def test_rank_reduce_device_batched_matches_host(rng):
+    """The BATCHED device-side rank reduction (_rank_reduce_device_batched,
+    the eval loop's one-dispatch-per-batch path that never fetches the
+    (B, cap, nc) distance matrix) must agree with _rank_from_matrix applied
+    to the fetched matrix, for every reducible op incl. the gated-'min'
+    (score, closest-class) pair. Reference semantics: ood_utils.py:1056-1092."""
+    import jax.numpy as jnp
+    from ood_in_object_detection_tpu.ood.methods import DistanceOODMethod
+    from ood_in_object_detection_tpu.ood.pipeline import (
+        _DEVICE_RANK_OPS, _rank_from_matrix, _rank_matrix_device_batched,
+        _rank_reduce_device_batched, _stride0_rank_bank)
+    import dataclasses
+    from ood_in_object_detection_tpu.core.config import CUSTOM_HYP
+
+    H = W = 16
+    C = 8
+    NC = 4
+    B, cap = 3, 5
+    p3 = rng.normal(0, 1.0, (B, H, W, C)).astype(np.float32)
+    dm = DistanceOODMethod.from_name("Cosine_cl_stride", cluster_method="all")
+    clusters = []
+    for c in range(NC):
+        row = [np.empty(0)] * 3
+        if c != 2:  # class 2 has no stride-0 clusters -> excluded row
+            cl = rng.normal(size=(2 + c, C)).astype(np.float32)
+            row[0] = cl / np.linalg.norm(cl, axis=-1, keepdims=True)
+        clusters.append(row)
+    dm.clusters = clusters
+    rank_bank = _stride0_rank_bank(dm, C)
+    assert rank_bank is not None
+    bank, row_cls = rank_bank
+
+    props = rng.uniform(0, 12, (B, cap, 4)).astype(np.float32)
+    props[..., 2:] += props[..., :2] + 1.0  # valid xyxy
+
+    mats = np.asarray(_rank_matrix_device_batched(
+        jnp.asarray(p3), jnp.asarray(props), bank.centroids, bank.count,
+        metric=dm.metric), np.float32)
+
+    for op in _DEVICE_RANK_OPS:
+        for gated in ((False, True) if op == "min" else (False,)):
+            unk = dataclasses.replace(
+                CUSTOM_HYP.unk,
+                rank=dataclasses.replace(CUSTOM_HYP.unk.rank,
+                                         RANK_BOXES_OPERATION=op,
+                                         USE_OOD_THR_TO_REMOVE_PROPS=gated))
+            old = CUSTOM_HYP.unk
+            CUSTOM_HYP.unk = unk
+            try:
+                red = _rank_reduce_device_batched(
+                    jnp.asarray(p3), jnp.asarray(props), bank.centroids,
+                    bank.count, jnp.asarray(row_cls), metric=dm.metric,
+                    op=op, gated=gated)
+                for i in range(B):
+                    host = _rank_from_matrix(mats[i].T[row_cls], row_cls)
+                    if gated:
+                        np.testing.assert_allclose(
+                            np.asarray(red[0][i]), host[0],
+                            rtol=1e-5, atol=1e-6)
+                        np.testing.assert_array_equal(
+                            np.asarray(red[1][i]), host[1])
+                    else:
+                        np.testing.assert_allclose(
+                            np.asarray(red[i]), host, rtol=1e-5, atol=1e-6)
+            finally:
+                CUSTOM_HYP.unk = old
+
+
 def test_stride0_rank_bank_gates():
     """The device rank bank refuses methods it can't represent (custom
     transform_fn, dim mismatch, no stride-0 clusters) so the eval loop
