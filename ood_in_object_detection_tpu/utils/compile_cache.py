@@ -28,6 +28,11 @@ def enable_compilation_cache(path: str) -> None:
 
     p = Path(path).expanduser().resolve()
     p.mkdir(parents=True, exist_ok=True)
+    # the cache singleton initializes lazily at the dir configured at FIRST
+    # compile; reset it so a mid-process enable (or re-target) takes effect
+    from jax.experimental.compilation_cache import compilation_cache
+
+    compilation_cache.reset_cache()
     jax.config.update("jax_compilation_cache_dir", str(p))
     # cache every real model compile (default 1 min would skip small steps)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
