@@ -20,7 +20,7 @@ blow the budget is skipped with a stderr note instead of starving the rest.
    real P3 map (reference ood_utils.py:641-898).
 4. train / flagship / latency, then ``distance_eul_eval_e2e`` — it is
    a pipeline-overlap metric, not a peak number, so it runs a slim config
-   (batch 32 x 4 batches) that fits ~2 min even through the tunnel.
+   (batch 32 x 8 batches) that fits ~2 min even through the tunnel.
    The headline line is reprinted as the FINAL line so last-line parsers
    (the original one-JSON-line contract) also record it.
 
@@ -254,7 +254,7 @@ def bench_distance_eul_e2e(det):
     nothing is DCE-able. The reference runs this loop entirely on the host
     (ood_utils.py:428-932).
 
-    SLIM config (batch 32 x 4 batches, 1 warm batch): this is a
+    SLIM config (batch 32 x 8 batches, 1 warm batch): this is a
     pipeline-OVERLAP metric, not a peak-throughput number — at batch 128 x
     9 batches the neck-tap fetches through the ~25 ms/dispatch tunnel alone
     exceeded 9 min and timed out the round-4 driver run (VERDICT r4 weak #1).
@@ -302,7 +302,9 @@ def bench_distance_eul_e2e(det):
               class_names=[f"c{i}" for i in range(NC)] + ["unknown"],
               conf_thr_test=0.25, enhanced_unk_localization=True)
     evaluate_method(det, make_batches(1, eul_bs), method, **kw)  # compile warm
-    n_batches = 4
+    # 8 timed batches (~15 s at the measured 1.8 s/batch): amortizes the
+    # per-dispatch tunnel jitter without risking the 300 s budget
+    n_batches = 8
     t0 = time.perf_counter()
     evaluate_method(det, make_batches(n_batches, eul_bs), method, **kw)
     wall = time.perf_counter() - t0
